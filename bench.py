@@ -1,0 +1,136 @@
+#!/usr/bin/env python
+"""Benchmark: aggregate transcription throughput per chip (x-realtime).
+
+Workload (BASELINE.json): 16 concurrent streams of a 60 s clip, batch-mode
+schedule (2 s processing interval), full pipeline — incremental mel on host,
+conv stem + 32-layer encoder + adapter + 26-layer decoder burst on device.
+Primary metric: x-realtime per chip = (streams x audio seconds) / wall time.
+Reference best: RTF 0.3998 == 2.5x realtime on an M3 Max (SPEED.md:8-18).
+
+Weights: loads the real checkpoint from $VOXTRAL_MODEL_DIR if present, else
+random bf16 weights of identical shapes (identical compute/memory traffic;
+transcript fidelity is covered by tests/oracle parity, not by this bench).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REF_X_REALTIME = 1.0 / 0.3998  # reference corpus RTF (SPEED.md:16)
+
+
+def main():
+    n_streams = int(os.environ.get("BENCH_STREAMS", "16"))
+    seconds = float(os.environ.get("BENCH_SECONDS", "60"))
+    interval_frames = int(os.environ.get("BENCH_INTERVAL_FRAMES", "200"))
+
+    import jax
+
+    from voxtral_tpu.audio.mel import MelContext
+    from voxtral_tpu.config import (
+        N_LEFT_PAD_TOKENS,
+        RAW_AUDIO_LENGTH_PER_TOK,
+        full_config,
+        n_right_pad_tokens,
+    )
+    from voxtral_tpu.models.params import init_params, load_params
+    from voxtral_tpu.parallel.serving import BatchedTranscriber
+    from voxtral_tpu.runtime.engine import VoxtralEngine
+    from voxtral_tpu.tokenizer import TekkenTokenizer
+
+    dev = jax.devices()[0]
+    print(f"bench device: {dev}", file=sys.stderr)
+
+    # Rings sized for a 60 s clip + serving restarts: decoder positions for
+    # 60 s = 39 + 750 < 1024; encoder window 750 + max bucket 256 <= 1024.
+    cfg = full_config()
+    eng_kwargs = dict(buckets=(256, 64, 16, 4, 1), enc_kv_ring=1024,
+                      dec_kv_ring=1024)
+
+    model_dir = os.environ.get("VOXTRAL_MODEL_DIR", "")
+    if model_dir and os.path.exists(os.path.join(model_dir, "consolidated.safetensors")):
+        print(f"loading real weights from {model_dir}", file=sys.stderr)
+        params = load_params(model_dir, cfg)
+        tok = TekkenTokenizer.load(os.path.join(model_dir, "tekken.json"))
+    else:
+        print("no checkpoint found; using random bf16 weights (same "
+              "compute/memory traffic)", file=sys.stderr)
+        params = init_params(cfg, seed=0)
+        tok = TekkenTokenizer([bytes([i % 256]) for i in range(1000)], 1000)
+
+    engine = VoxtralEngine(cfg, params, tokenizer=tok, **eng_kwargs)
+
+    # --- build the mel workload on host (not timed as device work but
+    # included in wall time during the timed run) --------------------------
+    rng = np.random.default_rng(0)
+    n = int(seconds * 16000)
+    t = np.arange(n) / 16000.0
+    audio = (0.25 * np.sin(2 * np.pi * 220 * t) * np.sin(2 * np.pi * 1.3 * t)
+             + 0.05 * rng.standard_normal(n)).astype(np.float32)
+
+    def padded_mel(a: np.ndarray) -> np.ndarray:
+        ctx = MelContext(N_LEFT_PAD_TOKENS * RAW_AUDIO_LENGTH_PER_TOK)
+        ctx.feed(a)
+        align = (RAW_AUDIO_LENGTH_PER_TOK - (len(a) % RAW_AUDIO_LENGTH_PER_TOK)) \
+            % RAW_AUDIO_LENGTH_PER_TOK
+        pad = align + n_right_pad_tokens(engine.delay_tokens) * RAW_AUDIO_LENGTH_PER_TOK
+        ctx.feed(np.zeros(pad, np.float32))
+        ctx.finish(0)
+        return ctx.data()
+
+    mel_one = padded_mel(audio)
+    mel = np.broadcast_to(mel_one, (n_streams,) + mel_one.shape).copy()
+    print(f"workload: {n_streams} streams x {seconds:.0f}s "
+          f"({mel_one.shape[0]} mel frames each)", file=sys.stderr)
+
+    # --- warmup run (compilation) -----------------------------------------
+    t0 = time.monotonic()
+    warm = BatchedTranscriber(engine, n_streams)
+    warm.transcribe(mel[:, : 4 * interval_frames], interval_frames)
+    print(f"warmup+compile: {time.monotonic() - t0:.1f}s", file=sys.stderr)
+    del warm
+    import gc
+    gc.collect()
+
+    # --- timed run ---------------------------------------------------------
+    t0 = time.monotonic()
+    tr = BatchedTranscriber(engine, n_streams)
+    tokens = tr.transcribe(mel, interval_frames)
+    wall = time.monotonic() - t0
+
+    total_audio = n_streams * seconds
+    x_rt = total_audio / wall
+    steps = tr.decode_steps + (engine.prompt_len - 1)
+    step_ms = 1000.0 * tr.decode_time / max(tr.decode_steps, 1)
+    extra = {
+        "wall_s": round(wall, 3),
+        "streams": n_streams,
+        "audio_s_per_stream": seconds,
+        "decode_steps_per_stream": tr.decode_steps,
+        "decode_time_s": round(tr.decode_time, 3),
+        "encode_time_s": round(tr.encode_time, 3),
+        "decoder_step_ms_batched": round(step_ms, 3),
+        "tokens_per_s_aggregate": round(n_streams * tr.decode_steps / wall, 1),
+        "single_stream_x_realtime_est": round(seconds / wall, 2),
+        "device": str(dev),
+        "weights": "real" if model_dir else "random",
+    }
+    print(json.dumps({
+        "metric": "aggregate_x_realtime_per_chip_60s_16streams",
+        "value": round(x_rt, 2),
+        "unit": "x_realtime",
+        "vs_baseline": round(x_rt / REF_X_REALTIME, 2),
+        "extra": extra,
+    }))
+    del steps
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,208 @@
+"""CLI with the reference's flag surface (main.c:27-42, 128-172):
+
+  voxtral-tpu -d <model_dir> (-i file.wav | --stdin | --from-mic)
+              [-I seconds] [--alt cutoff] [--delay ms]
+              [--monitor] [--debug] [--silent]
+
+Tokens stream to stdout as they are generated; metrics/diagnostics go to
+stderr in the reference's formats so benchmark tooling parses both engines.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+
+def _drain(stream, state, alt_mode: bool):
+    """Print pending tokens; strips leading whitespace from the very first
+    token and renders [best|alt...] groups in alt mode (main.c:48-104)."""
+    if alt_mode:
+        groups = stream.get_alt()
+        for g in groups:
+            alts = [a for a in g if a]
+            if not state["any"]:
+                alts[0] = alts[0].lstrip()
+                if not alts[0]:
+                    continue
+                state["any"] = True
+            if len(alts) > 1:
+                sys.stdout.write("[" + "|".join(alts) + "]")
+            else:
+                sys.stdout.write(alts[0])
+        sys.stdout.flush()
+        return
+    for tok in stream.get():
+        if not state["any"]:
+            tok = tok.lstrip()
+            if not tok:
+                continue
+            state["any"] = True
+        sys.stdout.write(tok)
+    sys.stdout.flush()
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="voxtral-tpu", description=__doc__)
+    p.add_argument("-d", "--model-dir", required=True)
+    p.add_argument("-i", "--input", help="WAV file to transcribe")
+    p.add_argument("--stdin", action="store_true", help="read WAV or raw s16le 16kHz mono PCM from stdin")
+    p.add_argument("--from-mic", action="store_true", help="capture from the default mic (needs arecord or ffmpeg)")
+    p.add_argument("-I", "--interval", type=float, default=None, help="processing interval seconds")
+    p.add_argument("--alt", type=float, default=None, metavar="CUTOFF", help="emit alternative tokens within CUTOFF")
+    p.add_argument("--delay", type=int, default=None, metavar="MS", help="transcription delay 80..2400 ms")
+    p.add_argument("--monitor", action="store_true")
+    p.add_argument("--debug", action="store_true")
+    p.add_argument("--silent", action="store_true")
+    args = p.parse_args(argv)
+
+    from .config import SAMPLE_RATE, full_config
+    from .io.wav import load_wav, parse_wav_bytes, resample_linear
+    from .models.params import load_params
+    from .runtime import stream as stream_mod
+    from .runtime.engine import VoxtralEngine
+    from .runtime.stream import VoxStream
+    from .tokenizer import TekkenTokenizer
+
+    stream_mod.verbose = 0 if args.silent else (2 if args.debug else 1)
+    stream_mod.monitor = args.monitor
+    v = stream_mod.verbose
+
+    cfg = full_config()
+    t0 = time.monotonic()
+    if v:
+        print(f"Loading model from {args.model_dir}", file=sys.stderr)
+    params = load_params(args.model_dir, cfg)
+    tok = TekkenTokenizer.load(os.path.join(args.model_dir, "tekken.json"))
+    engine = VoxtralEngine(cfg, params, tokenizer=tok)
+    if args.delay is not None:
+        engine.set_delay(args.delay)
+    if v:
+        print(f"Model loaded in {time.monotonic() - t0:.1f}s; compiling "
+              f"kernels...", file=sys.stderr)
+        t0 = time.monotonic()
+    engine.warmup(n_alt=4 if args.alt is not None else 0)
+    if v:
+        print(f"Warm-up done in {time.monotonic() - t0:.1f}s", file=sys.stderr)
+
+    def new_stream():
+        s = VoxStream(engine)
+        if args.interval is not None:
+            s.set_processing_interval(args.interval)
+        if args.alt is not None:
+            s.set_alt(4, args.alt)
+        return s
+
+    state = {"any": False}
+    alt_mode = args.alt is not None
+
+    if args.input:
+        samples = load_wav(args.input)
+        if v:
+            print(f"Audio: {len(samples)} samples "
+                  f"({len(samples) / SAMPLE_RATE:.1f} seconds)", file=sys.stderr)
+        s = new_stream()
+        # 1-second chunks, draining as we go (main.c:109-118)
+        for i in range(0, len(samples), SAMPLE_RATE):
+            s.feed(samples[i : i + SAMPLE_RATE])
+            _drain(s, state, alt_mode)
+        s.finish()
+        _drain(s, state, alt_mode)
+        sys.stdout.write("\n")
+        s.print_stats()
+        return 0
+
+    if args.stdin:
+        head = sys.stdin.buffer.read(4)
+        if head == b"RIFF":
+            data = head + sys.stdin.buffer.read()
+            samples, rate = parse_wav_bytes(data)
+            samples = resample_linear(samples, rate, SAMPLE_RATE)
+            if v:
+                print(f"Audio: {len(samples)} samples "
+                      f"({len(samples) / SAMPLE_RATE:.1f} seconds)",
+                      file=sys.stderr)
+            s = new_stream()
+            for i in range(0, len(samples), SAMPLE_RATE):
+                s.feed(samples[i : i + SAMPLE_RATE])
+                _drain(s, state, alt_mode)
+            s.finish()
+            _drain(s, state, alt_mode)
+        else:
+            s = new_stream()
+            s.set_continuous(True)
+            if head:
+                s.feed(np.frombuffer(head, dtype="<i2").astype(np.float32) / 32768.0)
+            while True:
+                raw = sys.stdin.buffer.read(8192)
+                if not raw:
+                    s.finish()
+                    _drain(s, state, alt_mode)
+                    break
+                pcm = np.frombuffer(raw[: len(raw) // 2 * 2], dtype="<i2")
+                s.feed(pcm.astype(np.float32) / 32768.0)
+                _drain(s, state, alt_mode)
+        sys.stdout.write("\n")
+        s.print_stats()
+        return 0
+
+    if args.from_mic:
+        cmd = None
+        for c in (
+            ["arecord", "-q", "-f", "S16_LE", "-r", "16000", "-c", "1", "-t", "raw"],
+            ["ffmpeg", "-loglevel", "quiet", "-f", "pulse", "-i", "default",
+             "-ar", "16000", "-ac", "1", "-f", "s16le", "-"],
+        ):
+            from shutil import which
+            if which(c[0]):
+                cmd = c
+                break
+        if cmd is None:
+            print("No mic capture backend (arecord/ffmpeg) available",
+                  file=sys.stderr)
+            return 1
+        if v:
+            print(f"Capturing from mic via {cmd[0]} (ctrl-c to stop)",
+                  file=sys.stderr)
+        s = new_stream()
+        s.set_continuous(True)
+        proc = subprocess.Popen(cmd, stdout=subprocess.PIPE)
+        try:
+            # 100 ms reads; silence gating like main.c:235-296 is handled by
+            # the engine's watchdogs + flush on long silence
+            silent_ms = 0
+            while True:
+                raw = proc.stdout.read(3200)
+                if not raw:
+                    break
+                pcm = np.frombuffer(raw[: len(raw) // 2 * 2], dtype="<i2")
+                f = pcm.astype(np.float32) / 32768.0
+                rms = float(np.sqrt(np.mean(f * f))) if len(f) else 0.0
+                s.feed(f)
+                if rms < 0.01:
+                    silent_ms += 100
+                    if silent_ms == 700:  # one flush after ~600ms silence
+                        s.flush()
+                else:
+                    silent_ms = 0
+                _drain(s, state, alt_mode)
+        except KeyboardInterrupt:
+            pass
+        finally:
+            proc.terminate()
+        s.finish()
+        _drain(s, state, alt_mode)
+        sys.stdout.write("\n")
+        s.print_stats()
+        return 0
+
+    p.error("one of -i, --stdin, --from-mic is required")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,109 @@
+"""Ring-buffer KV cache + sliding-window GQA attention (XLA reference path).
+
+The C reference keeps rolling KV caches it compacts with memmove when full
+(voxtral_decoder.c:317-347, voxtral_encoder.c:388-406).  On TPU we replace
+data movement with index arithmetic: a fixed-capacity ring where position p
+lives in slot p % cap.  The logical position of slot s, given that the last
+written position is p_end, is
+
+    l(s) = p_end - ((p_end - s) mod cap)        (in (p_end - cap, p_end])
+
+so the sliding-window causal mask for a query at position q is simply
+
+    valid(s) = 0 <= l(s) <= q  and  l(s) > q - window.
+
+No position bookkeeping array, no compaction, no copies.  RoPE is applied at
+*logical* positions before the write, so cached K never needs re-rotation —
+the same argument the reference makes at voxtral_decoder.c:313-316.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def ring_write(ring: jax.Array, vals: jax.Array, pos0: jax.Array) -> jax.Array:
+    """Write T rows into the ring at slots (pos0 .. pos0+T-1) mod cap.
+
+    ring: [cap, ...]; vals: [T, ...]; pos0: scalar int32 (logical position of
+    vals[0]).  Returns the updated ring.  T == 1 uses a dynamic_update_slice
+    fast path; larger T uses a scatter with unique mod indices.
+    """
+    cap = ring.shape[0]
+    t = vals.shape[0]
+    vals = vals.astype(ring.dtype)
+    if t == 1:
+        slot = jnp.mod(pos0, cap)
+        return jax.lax.dynamic_update_slice_in_dim(ring, vals, slot, axis=0)
+    if t >= cap:
+        # Only the last `cap` rows survive.
+        vals = vals[t - cap:]
+        start = jnp.mod(pos0 + (t - cap), cap)
+        rolled = jnp.roll(vals, shift=start, axis=0)
+        return rolled
+    slots = jnp.mod(pos0 + jnp.arange(t, dtype=jnp.int32), cap)
+    return ring.at[slots].set(vals, mode="drop", unique_indices=True)
+
+
+def slot_logical_positions(p_end: jax.Array, cap: int) -> jax.Array:
+    """Logical position currently held by each slot (int32 [cap]).
+
+    p_end: last written logical position (scalar).  Slots never written hold
+    positions < 0 only if p_end < cap - 1 — the mask below handles that via
+    the l(s) >= 0 term.
+    """
+    slots = jnp.arange(cap, dtype=jnp.int32)
+    return p_end - jnp.mod(p_end - slots, cap)
+
+
+@partial(jax.jit, static_argnames=("window", "out_dtype"))
+def ring_attention(
+    q: jax.Array,
+    k_ring: jax.Array,
+    v_ring: jax.Array,
+    q_pos0: jax.Array,
+    *,
+    window: int,
+    out_dtype=None,
+) -> jax.Array:
+    """Sliding-window causal GQA attention over a ring cache.
+
+    q:       [T, H, D]   queries at logical positions q_pos0 .. q_pos0+T-1
+    k_ring:  [cap, KH, D]  (K/V for those T positions must already be written)
+    v_ring:  [cap, KH, D]
+    Returns: [T, H, D] in out_dtype (default q.dtype).
+
+    Numerics: scores and softmax in float32 (matching the f32 SDPA island in
+    python_simple_implementation.py:313-318); the PV matmul accumulates f32.
+    """
+    t, h, d = q.shape
+    cap, kh, _ = k_ring.shape
+    g = h // kh
+    out_dtype = out_dtype or q.dtype
+    scale = 1.0 / math.sqrt(d)
+
+    p_end = q_pos0 + (t - 1)
+    l = slot_logical_positions(p_end, cap)                    # [cap]
+    q_pos = q_pos0 + jnp.arange(t, dtype=jnp.int32)           # [T]
+    valid = (
+        (l[None, :] >= 0)
+        & (l[None, :] <= q_pos[:, None])
+        & (l[None, :] > q_pos[:, None] - window)
+    )                                                          # [T, cap]
+
+    qg = q.reshape(t, kh, g, d)
+    # scores: [KH, G, T, cap]
+    scores = jnp.einsum(
+        "tkgd,skd->kgts", qg, k_ring, preferred_element_type=jnp.float32
+    ) * scale
+    scores = jnp.where(valid[None, None, :, :], scores, -jnp.inf)
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+    out = jnp.einsum(
+        "kgts,skd->tkgd", probs, v_ring.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    return out.reshape(t, h, d).astype(out_dtype)

@@ -1,0 +1,232 @@
+"""Multi-stream batched serving: N concurrent transcriptions per chip.
+
+The reference is strictly one stream per process (SURVEY.md §2.12).  On TPU
+the decode step is HBM-bandwidth-bound on weight reads, so batching B streams
+through one step costs nearly the same wall time as one stream — aggregate
+throughput scales ~linearly until compute or KV traffic dominates.  This
+module vmaps the single-stream programs over a stream axis; with a device
+mesh the batch axis shards over `dp` and heads/FFN over `tp` (parallel/mesh).
+
+Lockstep mode: all streams share the same chunk schedule (same feed sizes);
+each stream has its own audio, KV contents, and token feedback.  A host-side
+`BatchedTranscriber` mirrors the VoxStream control flow for the common case
+of equal-length inputs (the benchmark and batch-serving shape).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import TOKEN_EOS, TOKEN_STREAMING_PAD, VoxtralConfig
+from ..models import decoder as dec_mod
+from ..models import encoder as enc_mod
+from ..models.decoder import KVCache, ada_scales
+from ..models.encoder import EncKVCache
+from ..runtime.engine import decompose
+
+PyTree = Any
+
+
+# --- batched jitted programs (stream axis = axis 0 of data/caches) ----------
+
+@partial(jax.jit, static_argnames=("cfg",))
+def bconv0(enc_params, cfg: VoxtralConfig, mel, tail):
+    f = lambda m, t: enc_mod.conv0_chunk(enc_params, m, t, cdtype_name=cfg.compute_dtype)
+    return jax.vmap(f)(mel, tail)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def bconv1(enc_params, cfg: VoxtralConfig, feed, tail):
+    f = lambda x, t: enc_mod.conv1_chunk(enc_params, x, t, cdtype_name=cfg.compute_dtype)
+    return jax.vmap(f)(feed, tail)
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
+def bencode(enc_params, cfg: VoxtralConfig, x, cache: EncKVCache, pos0):
+    f = lambda xi, ci: enc_mod.encode_chunk(enc_params, cfg, xi, ci, pos0)
+    return jax.vmap(f)(x, cache)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def badapter(adapter_params, cfg: VoxtralConfig, x):
+    return jax.vmap(lambda xi: enc_mod.adapter_forward(adapter_params, cfg, xi))(x)
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
+def bprefill(dec_params, cfg: VoxtralConfig, embeds, cache: KVCache, pos0, ada):
+    f = lambda e, c: dec_mod.prefill(dec_params, cfg, e, c, pos0, ada)
+    return jax.vmap(f)(embeds, cache)
+
+
+@partial(
+    jax.jit, static_argnames=("cfg", "n_alt"), donate_argnames=("cache",)
+)
+def bdecode_burst(dec_params, cfg: VoxtralConfig, chunks, prev, cache: KVCache,
+                  pos0, ada, n_alt: int = 0):
+    f = lambda ch, pv, c: dec_mod.decode_burst(
+        dec_params, cfg, ch, pv, c, pos0, ada, n_alt=n_alt
+    )
+    return jax.vmap(f)(chunks, prev, cache)
+
+
+def batched_dec_cache(cfg: VoxtralConfig, batch: int, cap: Optional[int] = None,
+                      sharding=None) -> KVCache:
+    cap = cap or cfg.decoder.kv_ring
+    d = cfg.decoder
+    shape = (batch, d.n_layers, cap, d.n_kv_heads, d.head_dim)
+    z = (jnp.zeros(shape, cfg.kvdtype) if sharding is None
+         else jax.device_put(jnp.zeros(shape, cfg.kvdtype), sharding))
+    return KVCache(z, jnp.copy(z) if sharding is None else z + 0)
+
+
+def batched_enc_cache(cfg: VoxtralConfig, batch: int, cap: Optional[int] = None,
+                      sharding=None) -> EncKVCache:
+    cap = cap or cfg.encoder.kv_ring
+    e = cfg.encoder
+    shape = (batch, e.n_layers, cap, e.n_kv_heads, e.head_dim)
+    z = (jnp.zeros(shape, cfg.kvdtype) if sharding is None
+         else jax.device_put(jnp.zeros(shape, cfg.kvdtype), sharding))
+    return EncKVCache(z, jnp.copy(z) if sharding is None else z + 0)
+
+
+class BatchedTranscriber:
+    """Lockstep batched offline/streaming transcription of B equal-schedule
+    streams (the 16-streams-per-chip serving shape, BASELINE.json config 5)."""
+
+    def __init__(self, engine, batch: int, dec_kv_ring: Optional[int] = None):
+        self.eng = engine
+        self.cfg = engine.cfg
+        self.b = batch
+        cfg = self.cfg
+        self.dec_ring = dec_kv_ring or engine.dec_kv_ring
+        self.enc_cache = batched_enc_cache(cfg, batch, engine.enc_kv_ring)
+        self.dec_cache = batched_dec_cache(cfg, batch, self.dec_ring)
+        self.c0_tail = jnp.zeros((batch, 2, cfg.encoder.n_mel), jnp.float32)
+        self.c1_tail = jnp.zeros((batch, 2, cfg.encoder.dim), cfg.cdtype)
+        self.enc_pos = 0
+        self.c0_backlog: list[np.ndarray] = []   # each [B, t, 1280]
+        self.enc_backlog: list[np.ndarray] = []
+        self.adapter_bufs: Optional[np.ndarray] = None  # [B, n, dim]
+        self.total_adapter = 0
+        self.decoder_started = False
+        self.gen_pos = 0
+        self.prev = np.full(batch, TOKEN_STREAMING_PAD, np.int32)
+        self.done = np.zeros(batch, bool)
+        self.tokens: list[list[int]] = [[] for _ in range(batch)]
+        self.decode_steps = 0
+        self.decode_time = 0.0
+        self.encode_time = 0.0
+
+    def _take(self, backlog: list, n: int) -> np.ndarray:
+        taken, got = [], 0
+        while got < n:
+            head = backlog[0]
+            need = n - got
+            if head.shape[1] <= need:
+                taken.append(head)
+                got += head.shape[1]
+                backlog.pop(0)
+            else:
+                taken.append(head[:, :need])
+                backlog[0] = head[:, need:]
+                got = n
+        return taken[0] if len(taken) == 1 else np.concatenate(taken, axis=1)
+
+    def feed_mel(self, mel: np.ndarray):
+        """mel: [B, T, 128] new frames for every stream (lockstep)."""
+        eng, cfg = self.eng, self.cfg
+        t0 = time.monotonic()
+        t_new = mel.shape[1]
+        i = 0
+        for b in decompose(t_new, eng.buckets):
+            out, self.c0_tail = bconv0(
+                eng.params["encoder"], cfg, jnp.asarray(mel[:, i : i + b]),
+                self.c0_tail,
+            )
+            self.c0_backlog.append(np.asarray(out))
+            i += b
+        avail = sum(a.shape[1] for a in self.c0_backlog)
+        for b in decompose(avail // 2, eng.buckets):
+            feed = jnp.asarray(self._take(self.c0_backlog, 2 * b))
+            c1, self.c1_tail = bconv1(eng.params["encoder"], cfg, feed, self.c1_tail)
+            y, self.enc_cache = bencode(
+                eng.params["encoder"], cfg, c1, self.enc_cache,
+                jnp.int32(self.enc_pos),
+            )
+            self.enc_pos += b
+            self.enc_backlog.append(np.asarray(y))
+        avail_e = sum(a.shape[1] for a in self.enc_backlog)
+        rows = []
+        for g in decompose(avail_e // 4, eng.buckets):
+            x = jnp.asarray(self._take(self.enc_backlog, 4 * g))
+            rows.append(np.asarray(badapter(eng.params["adapter"], cfg, x),
+                                   dtype=np.float32))
+        if rows:
+            chunk = np.concatenate(rows, axis=1)
+            self.adapter_bufs = (
+                chunk if self.adapter_bufs is None
+                else np.concatenate([self.adapter_bufs, chunk], axis=1)
+            )
+            self.total_adapter += chunk.shape[1]
+        jax.block_until_ready(self.enc_cache.k)
+        self.encode_time += time.monotonic() - t0
+
+    def run_decoder(self):
+        eng, cfg = self.eng, self.cfg
+        L = eng.prompt_len
+        if not self.decoder_started:
+            if self.total_adapter < L:
+                return
+            rows = self.adapter_bufs[:, :L].copy()
+            rows[:, 0] += eng.embed_bos
+            rows[:, 1:] += eng.embed_pad
+            t0 = time.monotonic()
+            self.dec_cache = bprefill(
+                eng.params["decoder"], cfg, jnp.asarray(rows[:, : L - 1]),
+                self.dec_cache, jnp.int32(0), eng.ada(),
+            )
+            jax.block_until_ready(self.dec_cache.k)
+            self.decode_time += time.monotonic() - t0
+            self.gen_pos = L - 1
+            self.decoder_started = True
+        while self.gen_pos < self.total_adapter:
+            avail = self.total_adapter - self.gen_pos
+            b = next(x for x in eng.buckets if x <= avail)
+            chunk = jnp.asarray(self.adapter_bufs[:, self.gen_pos : self.gen_pos + b])
+            t0 = time.monotonic()
+            toks, _, _, _, self.dec_cache = bdecode_burst(
+                eng.params["decoder"], cfg, chunk, jnp.asarray(self.prev),
+                self.dec_cache, jnp.int32(self.gen_pos), eng.ada(),
+            )
+            toks = np.asarray(toks)    # [B, b]
+            self.decode_time += time.monotonic() - t0
+            self.decode_steps += b
+            for s in range(self.b):
+                if self.done[s]:
+                    continue
+                for t in toks[s]:
+                    t = int(t)
+                    if t == TOKEN_EOS:
+                        self.done[s] = True
+                        break
+                    self.tokens[s].append(t)
+            self.prev = toks[:, -1].astype(np.int32)
+            self.gen_pos += b
+
+    def transcribe(self, mel_batches: np.ndarray, interval_frames: int = 200):
+        """mel_batches: [B, T_total, 128] full padded mel per stream.  Feeds
+        `interval_frames` at a time, decoding after each chunk."""
+        t = mel_batches.shape[1]
+        i = 0
+        while i < t:
+            n = min(interval_frames, t - i)
+            self.feed_mel(mel_batches[:, i : i + n])
+            self.run_decoder()
+            i += n
+        return self.tokens

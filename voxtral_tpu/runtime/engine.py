@@ -1,0 +1,162 @@
+"""Engine: loaded parameters + compiled programs + shape-bucket policy.
+
+XLA traces one program per input shape, so the engine decomposes every
+variable-length chunk into a fixed set of power-of-4 buckets (binary/greedy
+decomposition).  Chunked processing is *exact* here — the conv stem carries
+explicit tails and the transformer KV rings carry logical positions — so any
+partition of the stream produces identical outputs.  This replaces the
+reference's arbitrary-length Metal dispatches with a handful of cached XLA
+programs (the analog of its warm-up, voxtral.c:163-250).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import (
+    TOKEN_BOS,
+    TOKEN_STREAMING_PAD,
+    VoxtralConfig,
+    delay_tokens_from_ms,
+)
+from ..models import decoder as dec_mod
+from ..models import encoder as enc_mod
+from ..models.decoder import KVCache, ada_scales
+from ..models.encoder import EncKVCache
+from ..tokenizer import TekkenTokenizer
+
+DEFAULT_BUCKETS = (256, 64, 16, 4, 1)
+
+
+def decompose(n: int, buckets: Sequence[int]) -> list[int]:
+    """Greedy largest-first decomposition of n into bucket sizes (buckets must
+    include 1 so every n is representable)."""
+    out = []
+    for b in sorted(buckets, reverse=True):
+        while n >= b:
+            out.append(b)
+            n -= b
+    assert n == 0
+    return out
+
+
+class VoxtralEngine:
+    """Holds weights in HBM plus everything shape-static. One engine serves
+    many streams (vox_ctx_t analog, voxtral.h:150-210)."""
+
+    def __init__(
+        self,
+        cfg: VoxtralConfig,
+        params,
+        tokenizer: Optional[TekkenTokenizer] = None,
+        buckets: Sequence[int] = DEFAULT_BUCKETS,
+        dec_kv_ring: Optional[int] = None,
+        enc_kv_ring: Optional[int] = None,
+    ):
+        self.cfg = cfg
+        self.params = params
+        self.tokenizer = tokenizer
+        self.buckets = tuple(sorted(buckets, reverse=True))
+        assert self.buckets[-1] == 1
+        self.dec_kv_ring = dec_kv_ring or cfg.decoder.kv_ring
+        self.enc_kv_ring = enc_kv_ring or cfg.encoder.kv_ring
+        # encoder ring must cover window + the largest chunk written on top
+        assert self.enc_kv_ring >= cfg.encoder.window + self.buckets[0]
+
+        self.delay_tokens = cfg.delay_tokens
+        self._ada = {}  # delay -> [L, dim] device array
+        self._ada[self.delay_tokens] = ada_scales(params["decoder"], cfg)
+
+        emb = params["decoder"]["tok_embeddings"]
+        self.embed_bos = np.asarray(emb[TOKEN_BOS], dtype=np.float32)
+        self.embed_pad = np.asarray(emb[TOKEN_STREAMING_PAD], dtype=np.float32)
+
+    # -- config ------------------------------------------------------------
+    @property
+    def prompt_len(self) -> int:
+        return 1 + 32 + self.delay_tokens
+
+    def set_delay(self, delay_ms: int):
+        """vox_set_delay analog (voxtral.c:1629-1635)."""
+        self.delay_tokens = delay_tokens_from_ms(delay_ms)
+
+    def ada(self):
+        d = self.delay_tokens
+        if d not in self._ada:
+            cfg = self.cfg.replace(delay_tokens=d)
+            self._ada[d] = ada_scales(self.params["decoder"], cfg)
+        return self._ada[d]
+
+    # -- cache factories -----------------------------------------------------
+    def new_dec_cache(self) -> KVCache:
+        return KVCache.create(self.cfg.decoder, self.cfg.kvdtype, self.dec_kv_ring)
+
+    def new_enc_cache(self) -> EncKVCache:
+        return EncKVCache.create(self.cfg.encoder, self.cfg.kvdtype, self.enc_kv_ring)
+
+    # -- compiled-program wrappers (bucketed) --------------------------------
+    def conv0(self, mel: jax.Array, tail: jax.Array):
+        return enc_mod.conv0_chunk(
+            self.params["encoder"], mel, tail, cdtype_name=self.cfg.compute_dtype
+        )
+
+    def conv1(self, feed: jax.Array, tail: jax.Array):
+        return enc_mod.conv1_chunk(
+            self.params["encoder"], feed, tail, cdtype_name=self.cfg.compute_dtype
+        )
+
+    def encode(self, x: jax.Array, cache: EncKVCache, pos0: int):
+        return enc_mod.encode_chunk(
+            self.params["encoder"], self.cfg, x, cache, jnp.int32(pos0)
+        )
+
+    def adapter(self, enc_out: jax.Array) -> jax.Array:
+        return enc_mod.adapter_forward(self.params["adapter"], self.cfg, enc_out)
+
+    def prefill(self, embeds: np.ndarray, cache: KVCache, pos0: int) -> KVCache:
+        return dec_mod.prefill(
+            self.params["decoder"], self.cfg, jnp.asarray(embeds), cache,
+            jnp.int32(pos0), self.ada(),
+        )
+
+    def decode_burst(self, adapter_chunk, prev_token: int, cache: KVCache,
+                     pos0: int, n_alt: int = 0):
+        return dec_mod.decode_burst(
+            self.params["decoder"], self.cfg, jnp.asarray(adapter_chunk),
+            jnp.int32(prev_token), cache, jnp.int32(pos0), self.ada(),
+            n_alt=n_alt,
+        )
+
+    # -- warm-up -------------------------------------------------------------
+    def warmup(self, n_alt: int = 0, progress=None):
+        """Pre-compile every bucket shape (the analog of vox_metal warm-up;
+        avoids first-token compile stalls)."""
+        cfg = self.cfg
+        t0 = time.monotonic()
+        enc_cache = self.new_enc_cache()
+        dec_cache = self.new_dec_cache()
+        c0_tail = jnp.zeros((2, cfg.encoder.n_mel), jnp.float32)
+        c1_tail = jnp.zeros((2, cfg.encoder.dim), cfg.cdtype)
+        for b in self.buckets:
+            if progress:
+                progress(f"warmup bucket {b}")
+            mel = jnp.zeros((b, cfg.encoder.n_mel), jnp.float32)
+            c0, _ = self.conv0(mel, c0_tail)
+            feed = jnp.zeros((2 * b, cfg.encoder.dim), cfg.cdtype)
+            c1, _ = self.conv1(feed, c1_tail)
+            x = jnp.zeros((b, cfg.encoder.dim), cfg.cdtype)
+            y, enc_cache = self.encode(x, enc_cache, 0)
+            a_in = jnp.zeros((4 * b, cfg.encoder.dim), cfg.cdtype)
+            self.adapter(a_in)
+            chunk = jnp.zeros((b, cfg.decoder.dim), cfg.cdtype)
+            out = self.decode_burst(chunk, TOKEN_BOS, dec_cache, 0, n_alt=n_alt)
+            dec_cache = out[-1]
+        pf = jnp.zeros((self.prompt_len - 1, cfg.decoder.dim), jnp.float32)
+        dec_cache = self.prefill(np.asarray(pf), dec_cache, 0)
+        jax.block_until_ready(dec_cache.k)
+        return time.monotonic() - t0
