@@ -1,0 +1,31 @@
+"""attn_impl="flash" decode path must produce identical tokens to "xla"."""
+
+import dataclasses
+
+import numpy as np
+
+from voxtral_tpu.config import tiny_config
+from voxtral_tpu.models.params import init_params
+from voxtral_tpu.runtime.engine import VoxtralEngine
+from test_decoder import _run_engine_decode
+
+
+def test_flash_decode_burst_matches_xla(tiny_tokenizer):
+    cfg = tiny_config()
+    params = init_params(cfg, seed=0)
+    rng = np.random.default_rng(0)
+    adapter_out = (rng.standard_normal((70, cfg.decoder.dim)) * 0.5).astype(
+        np.float32
+    )
+
+    eng_x = VoxtralEngine(cfg, params, tokenizer=tiny_tokenizer,
+                          buckets=(16, 4, 1), enc_kv_ring=64, dec_kv_ring=64)
+    tokens_xla = _run_engine_decode(eng_x, adapter_out, buckets=(1,))
+
+    cfg_f = dataclasses.replace(
+        cfg, decoder=dataclasses.replace(cfg.decoder, attn_impl="flash")
+    )
+    eng_f = VoxtralEngine(cfg_f, params, tokenizer=tiny_tokenizer,
+                          buckets=(16, 4, 1), enc_kv_ring=64, dec_kv_ring=64)
+    tokens_flash = _run_engine_decode(eng_f, adapter_out, buckets=(1,))
+    assert tokens_flash == tokens_xla

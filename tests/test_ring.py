@@ -39,18 +39,18 @@ def test_slot_logical_positions():
 
 
 def test_ring_write_wraparound():
-    ring = jnp.zeros((4, 1, 1))
+    ring = jnp.zeros((1, 4, 1))  # [KH=1, cap=4, D=1]
     for pos in range(7):
         ring = ring_write(ring, jnp.full((1, 1, 1), float(pos)), jnp.int32(pos))
-    got = np.asarray(ring)[:, 0, 0]
+    got = np.asarray(ring)[0, :, 0]
     np.testing.assert_array_equal(got, [4, 5, 6, 3])
 
 
 def test_ring_write_bulk_matches_single():
     rng = np.random.default_rng(0)
-    vals = rng.standard_normal((11, 2, 3)).astype(np.float32)
-    r1 = jnp.zeros((8, 2, 3))
-    r2 = jnp.zeros((8, 2, 3))
+    vals = rng.standard_normal((11, 2, 3)).astype(np.float32)  # [T, KH, D]
+    r1 = jnp.zeros((2, 8, 3))  # [KH, cap, D]
+    r2 = jnp.zeros((2, 8, 3))
     pos0 = 5
     for i in range(11):
         r1 = ring_write(r1, jnp.asarray(vals[i : i + 1]), jnp.int32(pos0 + i))
@@ -61,10 +61,10 @@ def test_ring_write_bulk_matches_single():
 def test_ring_write_larger_than_cap():
     rng = np.random.default_rng(1)
     vals = rng.standard_normal((13, 1, 2)).astype(np.float32)
-    r1 = jnp.zeros((8, 1, 2))
+    r1 = jnp.zeros((1, 8, 2))
     for i in range(13):
         r1 = ring_write(r1, jnp.asarray(vals[i : i + 1]), jnp.int32(i))
-    r2 = ring_write(jnp.zeros((8, 1, 2)), jnp.asarray(vals), jnp.int32(0))
+    r2 = ring_write(jnp.zeros((1, 8, 2)), jnp.asarray(vals), jnp.int32(0))
     np.testing.assert_allclose(np.asarray(r1), np.asarray(r2))
 
 
@@ -78,8 +78,8 @@ def test_ring_attention_matches_dense():
     v_hist = rng.standard_normal((total, kh, d)).astype(np.float32)
     q_all = rng.standard_normal((total, h, d)).astype(np.float32)
 
-    k_ring = jnp.zeros((cap, kh, d))
-    v_ring = jnp.zeros((cap, kh, d))
+    k_ring = jnp.zeros((kh, cap, d))
+    v_ring = jnp.zeros((kh, cap, d))
     pos = 0
     for t in [1, 3, 1, 8, 4, 1, 2, 8, 8, 4]:
         k_ring = ring_write(k_ring, jnp.asarray(k_hist[pos : pos + t]), jnp.int32(pos))

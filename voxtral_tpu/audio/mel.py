@@ -224,14 +224,12 @@ class MelContext:
         if right_pad_samples > 0:
             self._append(np.zeros(right_pad_samples, dtype=np.float32))
         real_end = self.n_samples - right_pad_samples
-        src_global_lo = real_end - 2 - (_REFLECT_PAD - 1)
         reflect = np.zeros(_REFLECT_PAD, dtype=np.float32)
         for i in range(_REFLECT_PAD):
             src = real_end - 2 - i
             if src >= 0:
                 reflect[i] = self._buf[src]
         self._append(reflect)
-        del src_global_lo
         self._compute_available()
         if len(self._mel) > 0:
             self._mel = self._mel[:-1]

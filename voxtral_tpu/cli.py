@@ -65,7 +65,7 @@ def main(argv=None):
     from .io.wav import load_wav, parse_wav_bytes, resample_linear
     from .models.params import load_params
     from .runtime import stream as stream_mod
-    from .runtime.engine import VoxtralEngine
+    from .runtime.engine import VoxtralEngine, adaptive_dec_ring
     from .runtime.stream import VoxStream
     from .tokenizer import TekkenTokenizer
 
@@ -74,12 +74,31 @@ def main(argv=None):
     v = stream_mod.verbose
 
     cfg = full_config()
+
+    # Read the input up front when its length is knowable so the decoder KV
+    # ring can be sized to the clip (smaller ring => less attention traffic).
+    samples = None
+    stdin_head = None
+    if args.input:
+        samples = load_wav(args.input)
+    elif args.stdin:
+        stdin_head = sys.stdin.buffer.read(4)
+        if stdin_head == b"RIFF":
+            data = stdin_head + sys.stdin.buffer.read()
+            raw, rate = parse_wav_bytes(data)
+            samples = resample_linear(raw, rate, SAMPLE_RATE)
+            stdin_head = None
+    if samples is not None:
+        dec_ring = adaptive_dec_ring(cfg, len(samples))
+    else:
+        dec_ring = 2048  # live mode restarts at STREAM_MAX_DECODE_KV=2000
+
     t0 = time.monotonic()
     if v:
         print(f"Loading model from {args.model_dir}", file=sys.stderr)
     params = load_params(args.model_dir, cfg)
     tok = TekkenTokenizer.load(os.path.join(args.model_dir, "tekken.json"))
-    engine = VoxtralEngine(cfg, params, tokenizer=tok)
+    engine = VoxtralEngine(cfg, params, tokenizer=tok, dec_kv_ring=dec_ring)
     if args.delay is not None:
         engine.set_delay(args.delay)
     if v:
@@ -102,7 +121,6 @@ def main(argv=None):
     alt_mode = args.alt is not None
 
     if args.input:
-        samples = load_wav(args.input)
         if v:
             print(f"Audio: {len(samples)} samples "
                   f"({len(samples) / SAMPLE_RATE:.1f} seconds)", file=sys.stderr)
@@ -118,11 +136,7 @@ def main(argv=None):
         return 0
 
     if args.stdin:
-        head = sys.stdin.buffer.read(4)
-        if head == b"RIFF":
-            data = head + sys.stdin.buffer.read()
-            samples, rate = parse_wav_bytes(data)
-            samples = resample_linear(samples, rate, SAMPLE_RATE)
+        if samples is not None:
             if v:
                 print(f"Audio: {len(samples)} samples "
                       f"({len(samples) / SAMPLE_RATE:.1f} seconds)",
@@ -136,8 +150,8 @@ def main(argv=None):
         else:
             s = new_stream()
             s.set_continuous(True)
-            if head:
-                s.feed(np.frombuffer(head, dtype="<i2").astype(np.float32) / 32768.0)
+            if stdin_head:
+                s.feed(np.frombuffer(stdin_head, dtype="<i2").astype(np.float32) / 32768.0)
             while True:
                 raw = sys.stdin.buffer.read(8192)
                 if not raw:

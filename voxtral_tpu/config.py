@@ -101,6 +101,10 @@ class DecoderConfig:
     # stream restarts before kv_len exceeds them (live mode restarts at
     # STREAM_MAX_DECODE_KV=2000, so 2048 suffices for serving).
     kv_ring: int = 8192
+    # "xla": full-ring masked attention (simple, vmappable).
+    # "flash": Pallas flash-decode kernel for single-token steps — streams
+    # only the live window blocks from HBM (ops/flash_decode.py).
+    attn_impl: str = "xla"
 
     @property
     def q_dim(self) -> int:

@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import TOKEN_TEXT_MIN, DecoderConfig, VoxtralConfig
+from ..ops.flash_decode import flash_decode_attention
 from ..ops.norms import gelu, rms_norm, silu
 from ..ops.ring import ring_attention, ring_write
 from ..ops.rope import apply_rope_interleaved, rope_cos_sin
@@ -34,14 +35,15 @@ PyTree = Any
 
 
 class KVCache(NamedTuple):
-    """Per-layer ring buffers: k/v are [L, cap, KH, D]."""
+    """Per-layer ring buffers: k/v are [L, KH, cap, D] (head-major so the
+    slot axis streams contiguously per head)."""
     k: jax.Array
     v: jax.Array
 
     @classmethod
     def create(cls, cfg: DecoderConfig, kv_dtype, cap: int | None = None):
         cap = cap or cfg.kv_ring
-        shape = (cfg.n_layers, cap, cfg.n_kv_heads, cfg.head_dim)
+        shape = (cfg.n_layers, cfg.n_kv_heads, cap, cfg.head_dim)
         return cls(jnp.zeros(shape, kv_dtype), jnp.zeros(shape, kv_dtype))
 
 
@@ -86,7 +88,7 @@ def _layer_step(
     x: jax.Array,            # [T, dim]
     lp: PyTree,              # one layer's params (leading L axis sliced away)
     ada: jax.Array,          # [dim] f32
-    k_all: jax.Array,        # [L, cap, KH, D]
+    k_all: jax.Array,        # [L, KH, cap, D]
     v_all: jax.Array,
     li: jax.Array,           # layer index
     pos0: jax.Array,         # logical position of x[0]
@@ -112,10 +114,16 @@ def _layer_step(
     k_all = jax.lax.dynamic_update_index_in_dim(k_all, k_ring, li, axis=0)
     v_all = jax.lax.dynamic_update_index_in_dim(v_all, v_ring, li, axis=0)
 
-    attn = ring_attention(
-        q.astype(cdtype), k_ring, v_ring, pos0,
-        window=cfg.window, out_dtype=cdtype,
-    ).reshape(t, q_dim)
+    if cfg.attn_impl == "flash" and t == 1:
+        attn = flash_decode_attention(
+            q[0].astype(cdtype), k_ring, v_ring, pos0,
+            window=cfg.window, out_dtype=cdtype,
+        )[None].reshape(t, q_dim)
+    else:
+        attn = ring_attention(
+            q.astype(cdtype), k_ring, v_ring, pos0,
+            window=cfg.window, out_dtype=cdtype,
+        ).reshape(t, q_dim)
 
     x = x + jnp.einsum(
         "tq,dq->td", attn, lp["wo"], preferred_element_type=jnp.float32

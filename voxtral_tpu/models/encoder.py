@@ -33,13 +33,13 @@ PyTree = Any
 
 
 class EncKVCache(NamedTuple):
-    k: jax.Array  # [L, cap, H, D]
+    k: jax.Array  # [L, KH, cap, D]
     v: jax.Array
 
     @classmethod
     def create(cls, cfg: EncoderConfig, kv_dtype, cap: int | None = None):
         cap = cap or cfg.kv_ring
-        shape = (cfg.n_layers, cap, cfg.n_kv_heads, cfg.head_dim)
+        shape = (cfg.n_layers, cfg.n_kv_heads, cap, cfg.head_dim)
         return cls(jnp.zeros(shape, kv_dtype), jnp.zeros(shape, kv_dtype))
 
 

@@ -8,11 +8,11 @@ Layout conventions (TPU-first, not a translation of the C structs):
     transposes — the mmap-speed load discipline of the reference
     (voxtral_safetensors.c zero-copy bf16 views).
   - Per-layer weights are stacked on axis 0 -> lax.scan over layers.
-  - QKV is merged into one [in, q+k+v] matrix (single MXU pass per token —
+  - QKV is merged into one [q+k+v, in] matrix (single MXU pass per token —
     the reference's packed-QKV optimization, SPEED.md:183-191, for free).
     Encoder biases exist only on q and v (voxtral_encoder.c:87-97); the
     merged bias holds zeros in the k segment.
-  - w1/w3 are merged into [in, 2*hidden] ([gate; up]).
+  - w1/w3 are merged into [2*hidden, in] ([gate; up]).
   - Conv stem weights are im2col matrices [K*C_in, C_out].
   - Norm weights and biases stay float32 (f32 islands).
 
@@ -135,37 +135,59 @@ def _conv_im2col(w: np.ndarray, dtype) -> np.ndarray:
     ).astype(dtype, copy=False)
 
 
-def _stack_device(arrays: list[np.ndarray], dtype) -> jax.Array:
-    out = np.empty((len(arrays),) + arrays[0].shape, dtype=dtype)
-    for i, a in enumerate(arrays):
-        out[i] = a
-    dev = jnp.asarray(out)
-    return dev
+class _Stacker:
+    """Fills preallocated [L, ...] host arrays straight from mmap views —
+    one host copy per tensor (page-in + memcpy), then one device transfer."""
+
+    def __init__(self, n_layers: int):
+        self.n = n_layers
+        self.bufs: dict[str, np.ndarray] = {}
+
+    def put(self, name: str, i: int, *parts: np.ndarray, dtype=None):
+        """Copy `parts` (concatenated on axis 0) into slot i of buffer `name`."""
+        total0 = sum(p.shape[0] for p in parts)
+        shape = (total0,) + parts[0].shape[1:]
+        buf = self.bufs.get(name)
+        if buf is None:
+            buf = np.empty((self.n,) + shape, dtype=dtype or parts[0].dtype)
+            self.bufs[name] = buf
+        o = 0
+        for part in parts:
+            buf[i, o : o + part.shape[0]] = part
+            o += part.shape[0]
+
+    def device(self, name: str) -> jax.Array:
+        arr = jnp.asarray(self.bufs.pop(name))
+        return arr
 
 
 def load_encoder_params(sf: SafetensorsFile, cfg: VoxtralConfig) -> PyTree:
     e = cfg.encoder
     pd = np.dtype(cfg.param_dtype)
     p = ENC_PREFIX
-    wqkv, bqkv, wo, bo, anorm, fnorm, w13, w2, b2 = ([] for _ in range(9))
+    st = _Stacker(e.n_layers)
     for i in range(e.n_layers):
         lp = f"{p}.transformer.layers.{i}"
-        wq = _linear(sf, f"{lp}.attention.wq.weight", pd)
-        wk = _linear(sf, f"{lp}.attention.wk.weight", pd)
-        wv = _linear(sf, f"{lp}.attention.wv.weight", pd)
-        wqkv.append(np.concatenate([wq, wk, wv], axis=0))
+        st.put(
+            "wqkv", i,
+            _linear(sf, f"{lp}.attention.wq.weight", pd),
+            _linear(sf, f"{lp}.attention.wk.weight", pd),
+            _linear(sf, f"{lp}.attention.wv.weight", pd),
+        )
         bq = sf.get_f32(f"{lp}.attention.wq.bias")
-        bv = sf.get_f32(f"{lp}.attention.wv.bias")
-        bqkv.append(np.concatenate([bq, np.zeros_like(bq), bv]))
-        wo.append(_linear(sf, f"{lp}.attention.wo.weight", pd))
-        bo.append(sf.get_f32(f"{lp}.attention.wo.bias"))
-        anorm.append(sf.get_f32(f"{lp}.attention_norm.weight"))
-        fnorm.append(sf.get_f32(f"{lp}.ffn_norm.weight"))
-        w1 = _linear(sf, f"{lp}.feed_forward.w1.weight", pd)
-        w3 = _linear(sf, f"{lp}.feed_forward.w3.weight", pd)
-        w13.append(np.concatenate([w1, w3], axis=0))
-        w2.append(_linear(sf, f"{lp}.feed_forward.w2.weight", pd))
-        b2.append(sf.get_f32(f"{lp}.feed_forward.w2.bias"))
+        st.put("bqkv", i, bq, np.zeros_like(bq),
+               sf.get_f32(f"{lp}.attention.wv.bias"))
+        st.put("wo", i, _linear(sf, f"{lp}.attention.wo.weight", pd))
+        st.put("bo", i, sf.get_f32(f"{lp}.attention.wo.bias"))
+        st.put("attn_norm", i, sf.get_f32(f"{lp}.attention_norm.weight"))
+        st.put("ffn_norm", i, sf.get_f32(f"{lp}.ffn_norm.weight"))
+        st.put(
+            "w13", i,
+            _linear(sf, f"{lp}.feed_forward.w1.weight", pd),
+            _linear(sf, f"{lp}.feed_forward.w3.weight", pd),
+        )
+        st.put("w2", i, _linear(sf, f"{lp}.feed_forward.w2.weight", pd))
+        st.put("b2", i, sf.get_f32(f"{lp}.feed_forward.w2.bias"))
     return {
         "conv0_w": jnp.asarray(
             _conv_im2col(sf.get(f"{p}.conv_layers.0.conv.weight").astype(np.float32), pd)
@@ -175,17 +197,7 @@ def load_encoder_params(sf: SafetensorsFile, cfg: VoxtralConfig) -> PyTree:
             _conv_im2col(sf.get(f"{p}.conv_layers.1.conv.weight").astype(np.float32), pd)
         ),
         "conv1_b": jnp.asarray(sf.get_f32(f"{p}.conv_layers.1.conv.bias")),
-        "layers": {
-            "attn_norm": _stack_device(anorm, np.float32),
-            "wqkv": _stack_device(wqkv, pd),
-            "bqkv": _stack_device(bqkv, np.float32),
-            "wo": _stack_device(wo, pd),
-            "bo": _stack_device(bo, np.float32),
-            "ffn_norm": _stack_device(fnorm, np.float32),
-            "w13": _stack_device(w13, pd),
-            "w2": _stack_device(w2, pd),
-            "b2": _stack_device(b2, np.float32),
-        },
+        "layers": {k: st.device(k) for k in list(st.bufs)},
         "final_norm": jnp.asarray(sf.get_f32(f"{p}.transformer.norm.weight")),
     }
 
@@ -201,36 +213,31 @@ def load_adapter_params(sf: SafetensorsFile, cfg: VoxtralConfig) -> PyTree:
 def load_decoder_params(sf: SafetensorsFile, cfg: VoxtralConfig) -> PyTree:
     d = cfg.decoder
     pd = np.dtype(cfg.param_dtype)
-    wqkv, wo, anorm, fnorm, w13, w2, ada_d, ada_u = ([] for _ in range(8))
+    st = _Stacker(d.n_layers)
     for i in range(d.n_layers):
         lp = f"layers.{i}"
-        wq = _linear(sf, f"{lp}.attention.wq.weight", pd)
-        wk = _linear(sf, f"{lp}.attention.wk.weight", pd)
-        wv = _linear(sf, f"{lp}.attention.wv.weight", pd)
-        wqkv.append(np.concatenate([wq, wk, wv], axis=0))
-        wo.append(_linear(sf, f"{lp}.attention.wo.weight", pd))
-        anorm.append(sf.get_f32(f"{lp}.attention_norm.weight"))
-        fnorm.append(sf.get_f32(f"{lp}.ffn_norm.weight"))
-        w1 = _linear(sf, f"{lp}.feed_forward.w1.weight", pd)
-        w3 = _linear(sf, f"{lp}.feed_forward.w3.weight", pd)
-        w13.append(np.concatenate([w1, w3], axis=0))
-        w2.append(_linear(sf, f"{lp}.feed_forward.w2.weight", pd))
-        ada_d.append(_linear(sf, f"{lp}.ada_rms_norm_t_cond.0.weight", pd))
-        ada_u.append(_linear(sf, f"{lp}.ada_rms_norm_t_cond.2.weight", pd))
+        st.put(
+            "wqkv", i,
+            _linear(sf, f"{lp}.attention.wq.weight", pd),
+            _linear(sf, f"{lp}.attention.wk.weight", pd),
+            _linear(sf, f"{lp}.attention.wv.weight", pd),
+        )
+        st.put("wo", i, _linear(sf, f"{lp}.attention.wo.weight", pd))
+        st.put("attn_norm", i, sf.get_f32(f"{lp}.attention_norm.weight"))
+        st.put("ffn_norm", i, sf.get_f32(f"{lp}.ffn_norm.weight"))
+        st.put(
+            "w13", i,
+            _linear(sf, f"{lp}.feed_forward.w1.weight", pd),
+            _linear(sf, f"{lp}.feed_forward.w3.weight", pd),
+        )
+        st.put("w2", i, _linear(sf, f"{lp}.feed_forward.w2.weight", pd))
+        st.put("ada_down", i, _linear(sf, f"{lp}.ada_rms_norm_t_cond.0.weight", pd))
+        st.put("ada_up", i, _linear(sf, f"{lp}.ada_rms_norm_t_cond.2.weight", pd))
     return {
         "tok_embeddings": jnp.asarray(
             sf.get(f"{MM_PREFIX}.tok_embeddings.weight").astype(pd, copy=False)
         ),
-        "layers": {
-            "attn_norm": _stack_device(anorm, np.float32),
-            "wqkv": _stack_device(wqkv, pd),
-            "wo": _stack_device(wo, pd),
-            "ffn_norm": _stack_device(fnorm, np.float32),
-            "w13": _stack_device(w13, pd),
-            "w2": _stack_device(w2, pd),
-            "ada_down": _stack_device(ada_d, pd),
-            "ada_up": _stack_device(ada_u, pd),
-        },
+        "layers": {k: st.device(k) for k in list(st.bufs)},
         "final_norm": jnp.asarray(sf.get_f32("norm.weight")),
     }
 

@@ -15,6 +15,10 @@ so the sliding-window causal mask for a query at position q is simply
 No position bookkeeping array, no compaction, no copies.  RoPE is applied at
 *logical* positions before the write, so cached K never needs re-rotation —
 the same argument the reference makes at voxtral_decoder.c:313-316.
+
+Ring layout is head-major [KH, cap, D]: the slot axis is contiguous per head,
+which is what both the XLA attention einsum and the Pallas flash-decode
+kernel (ops/flash_decode.py) want to stream from HBM.
 """
 
 from __future__ import annotations
@@ -29,33 +33,29 @@ import jax.numpy as jnp
 def ring_write(ring: jax.Array, vals: jax.Array, pos0: jax.Array) -> jax.Array:
     """Write T rows into the ring at slots (pos0 .. pos0+T-1) mod cap.
 
-    ring: [cap, ...]; vals: [T, ...]; pos0: scalar int32 (logical position of
-    vals[0]).  Returns the updated ring.  T == 1 uses a dynamic_update_slice
-    fast path; larger T uses a scatter with unique mod indices.
+    ring: [KH, cap, D]; vals: [T, KH, D]; pos0: scalar int32 (logical position
+    of vals[0]).  Returns the updated ring.  T == 1 uses a
+    dynamic_update_slice fast path; larger T uses a scatter with unique mod
+    indices.
     """
-    cap = ring.shape[0]
+    kh, cap, d = ring.shape
     t = vals.shape[0]
     vals = vals.astype(ring.dtype)
+    vals_t = jnp.swapaxes(vals, 0, 1)  # [KH, T, D]
     if t == 1:
         slot = jnp.mod(pos0, cap)
-        return jax.lax.dynamic_update_slice_in_dim(ring, vals, slot, axis=0)
+        return jax.lax.dynamic_update_slice(ring, vals_t, (0, slot, 0))
     if t >= cap:
         # Only the last `cap` rows survive.
-        vals = vals[t - cap:]
+        vals_t = vals_t[:, t - cap :]
         start = jnp.mod(pos0 + (t - cap), cap)
-        rolled = jnp.roll(vals, shift=start, axis=0)
-        return rolled
+        return jnp.roll(vals_t, shift=start, axis=1)
     slots = jnp.mod(pos0 + jnp.arange(t, dtype=jnp.int32), cap)
-    return ring.at[slots].set(vals, mode="drop", unique_indices=True)
+    return ring.at[:, slots].set(vals_t, mode="drop", unique_indices=True)
 
 
 def slot_logical_positions(p_end: jax.Array, cap: int) -> jax.Array:
-    """Logical position currently held by each slot (int32 [cap]).
-
-    p_end: last written logical position (scalar).  Slots never written hold
-    positions < 0 only if p_end < cap - 1 — the mask below handles that via
-    the l(s) >= 0 term.
-    """
+    """Logical position currently held by each slot (int32 [cap])."""
     slots = jnp.arange(cap, dtype=jnp.int32)
     return p_end - jnp.mod(p_end - slots, cap)
 
@@ -73,15 +73,15 @@ def ring_attention(
     """Sliding-window causal GQA attention over a ring cache.
 
     q:       [T, H, D]   queries at logical positions q_pos0 .. q_pos0+T-1
-    k_ring:  [cap, KH, D]  (K/V for those T positions must already be written)
-    v_ring:  [cap, KH, D]
+    k_ring:  [KH, cap, D]  (K/V for those T positions must already be written)
+    v_ring:  [KH, cap, D]
     Returns: [T, H, D] in out_dtype (default q.dtype).
 
     Numerics: scores and softmax in float32 (matching the f32 SDPA island in
     python_simple_implementation.py:313-318); the PV matmul accumulates f32.
     """
     t, h, d = q.shape
-    cap, kh, _ = k_ring.shape
+    kh, cap, _ = k_ring.shape
     g = h // kh
     out_dtype = out_dtype or q.dtype
     scale = 1.0 / math.sqrt(d)
@@ -98,12 +98,12 @@ def ring_attention(
     qg = q.reshape(t, kh, g, d)
     # scores: [KH, G, T, cap]
     scores = jnp.einsum(
-        "tkgd,skd->kgts", qg, k_ring, preferred_element_type=jnp.float32
+        "tkgd,ksd->kgts", qg, k_ring, preferred_element_type=jnp.float32
     ) * scale
     scores = jnp.where(valid[None, None, :, :], scores, -jnp.inf)
     probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
     out = jnp.einsum(
-        "kgts,skd->tkgd", probs, v_ring.astype(jnp.float32),
+        "kgts,ksd->tkgd", probs, v_ring.astype(jnp.float32),
         preferred_element_type=jnp.float32,
     )
     return out.reshape(t, h, d).astype(out_dtype)

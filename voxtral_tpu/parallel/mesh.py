@@ -77,8 +77,8 @@ def batch_shardings(mesh: Mesh):
 
 
 def cache_shardings(mesh: Mesh):
-    """KV caches [B, L, cap, KH, D]: streams over dp, kv heads over tp."""
-    return NamedSharding(mesh, P("dp", None, None, "tp", None))
+    """KV caches [B, L, KH, cap, D]: streams over dp, kv heads over tp."""
+    return NamedSharding(mesh, P("dp", None, "tp", None, None))
 
 
 def shard_params(params: PyTree, shardings: PyTree) -> PyTree:

@@ -79,7 +79,7 @@ def batched_dec_cache(cfg: VoxtralConfig, batch: int, cap: Optional[int] = None,
                       sharding=None) -> KVCache:
     cap = cap or cfg.decoder.kv_ring
     d = cfg.decoder
-    shape = (batch, d.n_layers, cap, d.n_kv_heads, d.head_dim)
+    shape = (batch, d.n_layers, d.n_kv_heads, cap, d.head_dim)
     z = (jnp.zeros(shape, cfg.kvdtype) if sharding is None
          else jax.device_put(jnp.zeros(shape, cfg.kvdtype), sharding))
     return KVCache(z, jnp.copy(z) if sharding is None else z + 0)
@@ -89,7 +89,7 @@ def batched_enc_cache(cfg: VoxtralConfig, batch: int, cap: Optional[int] = None,
                       sharding=None) -> EncKVCache:
     cap = cap or cfg.encoder.kv_ring
     e = cfg.encoder
-    shape = (batch, e.n_layers, cap, e.n_kv_heads, e.head_dim)
+    shape = (batch, e.n_layers, e.n_kv_heads, cap, e.head_dim)
     z = (jnp.zeros(shape, cfg.kvdtype) if sharding is None
          else jax.device_put(jnp.zeros(shape, cfg.kvdtype), sharding))
     return EncKVCache(z, jnp.copy(z) if sharding is None else z + 0)

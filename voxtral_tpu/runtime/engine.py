@@ -33,6 +33,22 @@ from ..tokenizer import TekkenTokenizer
 DEFAULT_BUCKETS = (256, 64, 16, 4, 1)
 
 
+def _pow2ceil(n: int) -> int:
+    return 1 << (n - 1).bit_length()
+
+
+def adaptive_dec_ring(cfg: VoxtralConfig, n_samples: int, slack: int = 64) -> int:
+    """Smallest power-of-two decoder ring that holds a whole clip of
+    `n_samples` (prompt + audio tokens + right padding), capped at the
+    attention window.  The analog of the reference's grow-to-fit KV cache
+    for offline clips (voxtral_decoder.c:214-311)."""
+    from ..config import RAW_AUDIO_LENGTH_PER_TOK, n_right_pad_tokens
+
+    toks = (n_samples + RAW_AUDIO_LENGTH_PER_TOK - 1) // RAW_AUDIO_LENGTH_PER_TOK
+    total = (1 + 32 + cfg.delay_tokens) + toks + n_right_pad_tokens(cfg.delay_tokens)
+    return min(cfg.decoder.window, _pow2ceil(total + slack))
+
+
 def decompose(n: int, buckets: Sequence[int]) -> list[int]:
     """Greedy largest-first decomposition of n into bucket sizes (buckets must
     include 1 so every n is representable)."""
@@ -64,9 +80,15 @@ class VoxtralEngine:
         self.buckets = tuple(sorted(buckets, reverse=True))
         assert self.buckets[-1] == 1
         self.dec_kv_ring = dec_kv_ring or cfg.decoder.kv_ring
-        self.enc_kv_ring = enc_kv_ring or cfg.encoder.kv_ring
-        # encoder ring must cover window + the largest chunk written on top
-        assert self.enc_kv_ring >= cfg.encoder.window + self.buckets[0]
+        # encoder ring must cover window + the largest chunk written on top;
+        # default to the smallest power of two that does (1024 for the real
+        # config with 256-buckets) — halves cache memory and attention reads
+        # vs a fixed cap.
+        min_enc = cfg.encoder.window + self.buckets[0]
+        self.enc_kv_ring = enc_kv_ring or min(
+            cfg.encoder.kv_ring, _pow2ceil(min_enc)
+        )
+        assert self.enc_kv_ring >= min_enc
 
         self.delay_tokens = cfg.delay_tokens
         self._ada = {}  # delay -> [L, dim] device array

@@ -303,6 +303,7 @@ class VoxStream:
             rows[0] += eng.embed_bos
             rows[1:] += eng.embed_pad
             self.dec_cache = eng.prefill(rows[: prompt_len - 1], self.dec_cache, 0)
+            jax.block_until_ready(self.dec_cache.k)  # attribute time correctly
             self.dec_pos = prompt_len - 1
             self.gen_pos = self.adapter_pos_offset + (prompt_len - 1)
             self.prev_token = TOKEN_STREAMING_PAD
@@ -320,6 +321,17 @@ class VoxStream:
             while self.gen_pos < self.total_adapter and not self.eos_seen:
                 avail = self.total_adapter - self.gen_pos
                 b = next(x for x in eng.buckets if x <= avail)
+                if (
+                    eng.dec_kv_ring < self.cfg.decoder.window
+                    and self.dec_pos + b > eng.dec_kv_ring
+                ):
+                    raise RuntimeError(
+                        f"decoder KV ring ({eng.dec_kv_ring}) smaller than the "
+                        f"attention window would lose context at position "
+                        f"{self.dec_pos + b}; size the ring to the clip or "
+                        f"enable continuous mode (which restarts at "
+                        f"{STREAM_MAX_DECODE_KV})"
+                    )
                 phys = self.gen_pos - self.adapter_pos_offset
                 chunk = self.adapter_buf[phys : phys + b]
                 tokens, alt_ids, alt_probs, best_probs, self.dec_cache = (
