@@ -105,6 +105,28 @@ def main():
     tokens = tr.transcribe(mel, interval_frames)
     wall = time.monotonic() - t0
 
+    # --- phase 2: single-stream p50 token latency at -I 0.5 ----------------
+    # Feed 0.5 s chunks; a token's latency is the wall time of the feed()
+    # call that produced it (time from audio-available to token-out, the
+    # engine-side component of streaming latency).
+    from voxtral_tpu.runtime.stream import VoxStream
+
+    chunk_n = 8000
+    lat_ms: list[float] = []
+    for run in range(2):  # first run absorbs single-stream compiles
+        lat_ms = []
+        s = VoxStream(engine)
+        s.set_processing_interval(0.5)
+        for i in range(0, len(audio), chunk_n):
+            t1 = time.monotonic()
+            s.feed(audio[i : i + chunk_n])
+            dt = (time.monotonic() - t1) * 1000.0
+            lat_ms += [dt] * len(s.get())
+        s.finish()
+        s.get()
+    p50 = float(np.percentile(lat_ms, 50)) if lat_ms else -1.0
+    p90 = float(np.percentile(lat_ms, 90)) if lat_ms else -1.0
+
     total_audio = n_streams * seconds
     x_rt = total_audio / wall
     steps = tr.decode_steps + (engine.prompt_len - 1)
@@ -119,6 +141,8 @@ def main():
         "decoder_step_ms_batched": round(step_ms, 3),
         "tokens_per_s_aggregate": round(n_streams * tr.decode_steps / wall, 1),
         "single_stream_x_realtime_est": round(seconds / wall, 2),
+        "p50_token_latency_ms_I0.5": round(p50, 1),
+        "p90_token_latency_ms_I0.5": round(p90, 1),
         "device": str(dev),
         "weights": "real" if model_dir else "random",
     }

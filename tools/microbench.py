@@ -17,6 +17,8 @@ import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def timeit(fn, n=3):
     import jax
@@ -104,6 +106,49 @@ def main():
         # 256 encoder positions = 20.48 s of audio
         print(f"encode chunk 256: {1000*t:.1f} ms ({batch} streams) "
               f"-> {batch*256*0.08/t:.0f}x realtime aggregate")
+
+    if which in ("single", "all"):
+        from voxtral_tpu.models import decoder as dmod
+        from voxtral_tpu.models.decoder import KVCache
+
+        cache = KVCache.create(cfg.decoder, cfg.kvdtype, ring)
+        chunk = jnp.zeros((burst, cfg.decoder.dim), jnp.float32)
+        state = {"c": cache}
+
+        def sstep():
+            toks, _, _, _, state["c"] = dmod.decode_burst(
+                eng.params["decoder"], cfg, chunk, jnp.int32(32), state["c"],
+                jnp.int32(500), ada,
+            )
+            return toks
+
+        t = timeit(sstep)
+        ms = 1000 * t / burst
+        print(f"single-stream sequential: {ms:.2f} ms/step "
+              f"-> {80/ms:.1f}x realtime")
+
+    if which in ("jacobi", "all"):
+        from voxtral_tpu.models.decoder import KVCache
+        from voxtral_tpu.models.jacobi import decode_burst_jacobi
+
+        cache = KVCache.create(cfg.decoder, cfg.kvdtype, ring)
+        chunk = jnp.zeros((burst, cfg.decoder.dim), jnp.float32)
+        state = {"c": cache, "it": None}
+
+        def jstep():
+            toks, _, _, _, state["c"], iters = decode_burst_jacobi(
+                eng.params["decoder"], cfg, chunk, jnp.int32(32), state["c"],
+                jnp.int32(500), ada, window=min(64, burst),
+            )
+            state["it"] = iters
+            return toks
+
+        t = timeit(jstep)
+        iters = int(state["it"])
+        per_iter = 1000 * t / max(iters, 1)
+        print(f"jacobi: {1000*t:.1f} ms / {burst} tokens in {iters} iters "
+              f"({per_iter:.2f} ms/iter; random weights ~= worst case). "
+              f"Speedup vs sequential = tokens-settled-per-iter.")
 
     if which in ("logits", "all"):
         x = jnp.zeros((batch, cfg.decoder.dim), jnp.float32)

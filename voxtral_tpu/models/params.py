@@ -242,14 +242,27 @@ def load_decoder_params(sf: SafetensorsFile, cfg: VoxtralConfig) -> PyTree:
     }
 
 
-def load_params(model_dir: str, cfg: VoxtralConfig) -> PyTree:
+def load_params(model_dir: str, cfg: VoxtralConfig, verbose: bool = False) -> PyTree:
     """Stream consolidated.safetensors bf16 straight to HBM (per stacked
     tensor; host peak stays ~2 GB, file pages are evicted by the OS)."""
     import os
+    import sys
+    import time
+
+    t0 = time.monotonic()
+
+    def log(msg):
+        if verbose:
+            print(f"  load: {msg} (+{time.monotonic() - t0:.1f}s)",
+                  file=sys.stderr)
 
     sf = SafetensorsFile(os.path.join(model_dir, "consolidated.safetensors"))
-    return {
-        "encoder": load_encoder_params(sf, cfg),
-        "adapter": load_adapter_params(sf, cfg),
-        "decoder": load_decoder_params(sf, cfg),
-    }
+    log("header parsed")
+    enc = load_encoder_params(sf, cfg)
+    jax.block_until_ready(enc)
+    log("encoder in HBM")
+    ada = load_adapter_params(sf, cfg)
+    dec = load_decoder_params(sf, cfg)
+    jax.block_until_ready(dec)
+    log("decoder in HBM")
+    return {"encoder": enc, "adapter": ada, "decoder": dec}

@@ -73,10 +73,16 @@ class VoxtralEngine:
         buckets: Sequence[int] = DEFAULT_BUCKETS,
         dec_kv_ring: Optional[int] = None,
         enc_kv_ring: Optional[int] = None,
+        decode_mode: str = "sequential",   # or "jacobi" (models/jacobi.py)
+        jacobi_window: int = 64,
     ):
         self.cfg = cfg
         self.params = params
         self.tokenizer = tokenizer
+        assert decode_mode in ("sequential", "jacobi"), decode_mode
+        self.decode_mode = decode_mode
+        self.jacobi_window = jacobi_window
+        self.jacobi_iters = []   # device scalars; summed lazily in stats
         self.buckets = tuple(sorted(buckets, reverse=True))
         assert self.buckets[-1] == 1
         self.dec_kv_ring = dec_kv_ring or cfg.decoder.kv_ring
@@ -148,6 +154,17 @@ class VoxtralEngine:
 
     def decode_burst(self, adapter_chunk, prev_token: int, cache: KVCache,
                      pos0: int, n_alt: int = 0):
+        if self.decode_mode == "jacobi":
+            from ..models.jacobi import decode_burst_jacobi
+
+            w = min(self.jacobi_window, len(adapter_chunk))
+            toks, ai, ap, bp, cache, iters = decode_burst_jacobi(
+                self.params["decoder"], self.cfg, jnp.asarray(adapter_chunk),
+                jnp.int32(prev_token), cache, jnp.int32(pos0), self.ada(),
+                n_alt=n_alt, window=w,
+            )
+            self.jacobi_iters.append(iters)
+            return toks, ai, ap, bp, cache
         return dec_mod.decode_burst(
             self.params["decoder"], self.cfg, jnp.asarray(adapter_chunk),
             jnp.int32(prev_token), cache, jnp.int32(pos0), self.ada(),

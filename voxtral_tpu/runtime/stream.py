@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..audio.mel import MelContext
+from ..native import make_mel_context
 from ..config import (
     MAX_ALT,
     N_LEFT_PAD_TOKENS,
@@ -57,7 +57,7 @@ class VoxStream:
             raise ValueError("engine has no tokenizer (tekken.json not loaded)")
         self.tok: TekkenTokenizer = engine.tokenizer
 
-        self.mel_ctx = MelContext(N_LEFT_PAD_TOKENS * RAW_AUDIO_LENGTH_PER_TOK)
+        self.mel_ctx = make_mel_context(N_LEFT_PAD_TOKENS * RAW_AUDIO_LENGTH_PER_TOK)
         self.real_samples_fed = 0
         self.mel_cursor = 0
 
@@ -141,7 +141,7 @@ class VoxStream:
 
     def _reset_full_state(self):
         cfg = self.cfg
-        self.mel_ctx = MelContext(N_LEFT_PAD_TOKENS * RAW_AUDIO_LENGTH_PER_TOK)
+        self.mel_ctx = make_mel_context(N_LEFT_PAD_TOKENS * RAW_AUDIO_LENGTH_PER_TOK)
         self.mel_cursor = 0
         self._c0_tail = jnp.zeros((2, cfg.encoder.n_mel), jnp.float32)
         self._c1_tail = jnp.zeros((2, cfg.encoder.dim), cfg.cdtype)
