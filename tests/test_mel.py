@@ -78,3 +78,17 @@ def test_finish_reflect_matches_batch_nonzero_tail():
     got = ctx.data()
     assert got.shape == ref.shape
     np.testing.assert_allclose(got[2:], ref[2:], atol=1e-5, rtol=1e-5)
+
+
+def test_device_mel_matches_host():
+    from voxtral_tpu.audio.mel_device import mel_spectrogram_device
+
+    audio = make_audio(1.2, seed=9)
+    ref = mel_spectrogram(audio)
+    got = np.asarray(mel_spectrogram_device(np.asarray(audio)))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=3e-4, rtol=3e-4)
+
+    batch = np.stack([audio, audio * 0.5])
+    got_b = np.asarray(mel_spectrogram_device(batch))
+    np.testing.assert_allclose(got_b[0], ref, atol=3e-4, rtol=3e-4)

@@ -59,6 +59,11 @@ def main(argv=None):
     p.add_argument("--monitor", action="store_true")
     p.add_argument("--debug", action="store_true")
     p.add_argument("--silent", action="store_true")
+    p.add_argument("--profile", metavar="DIR", default=None,
+                   help="write a jax.profiler trace of the run to DIR")
+    p.add_argument("--jacobi", action="store_true",
+                   help="Jacobi fixpoint burst decoding (exact greedy, "
+                        "usually much faster single-stream)")
     args = p.parse_args(argv)
 
     from .config import SAMPLE_RATE, full_config
@@ -74,6 +79,10 @@ def main(argv=None):
     v = stream_mod.verbose
 
     cfg = full_config()
+    # VOX_DECODER_KV_FP16 analog (voxtral.c:166-167): KV cache storage dtype
+    kv_env = os.environ.get("VOXTRAL_KV_DTYPE")
+    if kv_env:
+        cfg = cfg.replace(kv_dtype=kv_env)
 
     # Read the input up front when its length is knowable so the decoder KV
     # ring can be sized to the clip (smaller ring => less attention traffic).
@@ -96,9 +105,12 @@ def main(argv=None):
     t0 = time.monotonic()
     if v:
         print(f"Loading model from {args.model_dir}", file=sys.stderr)
-    params = load_params(args.model_dir, cfg)
+    params = load_params(args.model_dir, cfg, verbose=v >= 2)
     tok = TekkenTokenizer.load(os.path.join(args.model_dir, "tekken.json"))
-    engine = VoxtralEngine(cfg, params, tokenizer=tok, dec_kv_ring=dec_ring)
+    engine = VoxtralEngine(
+        cfg, params, tokenizer=tok, dec_kv_ring=dec_ring,
+        decode_mode="jacobi" if args.jacobi else "sequential",
+    )
     if args.delay is not None:
         engine.set_delay(args.delay)
     if v:
@@ -119,6 +131,14 @@ def main(argv=None):
 
     state = {"any": False}
     alt_mode = args.alt is not None
+
+    if args.profile:
+        import jax
+
+        jax.profiler.start_trace(args.profile)
+        import atexit
+
+        atexit.register(jax.profiler.stop_trace)
 
     if args.input:
         if v:
