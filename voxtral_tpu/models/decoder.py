@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import TOKEN_TEXT_MIN, DecoderConfig, VoxtralConfig
+from . import quant
 from ..ops.flash_decode import flash_decode_attention
 from ..ops.norms import gelu, rms_norm, silu
 from ..ops.ring import ring_attention, ring_write
@@ -99,7 +100,7 @@ def _layer_step(
     q_dim, kv_dim = cfg.q_dim, cfg.kv_dim
 
     xn = rms_norm(x, lp["attn_norm"], cfg.norm_eps).astype(cdtype)
-    qkv = jnp.einsum("td,od->to", xn, lp["wqkv"], preferred_element_type=jnp.float32)
+    qkv = quant.mm(xn, lp, "wqkv", cdtype)
     q = qkv[:, :q_dim].reshape(t, cfg.n_heads, cfg.head_dim)
     k = qkv[:, q_dim : q_dim + kv_dim].reshape(t, cfg.n_kv_heads, cfg.head_dim)
     v = qkv[:, q_dim + kv_dim :].reshape(t, cfg.n_kv_heads, cfg.head_dim)
@@ -125,18 +126,13 @@ def _layer_step(
             window=cfg.window, out_dtype=cdtype,
         ).reshape(t, q_dim)
 
-    x = x + jnp.einsum(
-        "tq,dq->td", attn, lp["wo"], preferred_element_type=jnp.float32
-    ).astype(x.dtype)
+    x = x + quant.mm(attn, lp, "wo", cdtype).astype(x.dtype)
 
     hn = rms_norm(x, lp["ffn_norm"], cfg.norm_eps).astype(jnp.float32)
     hn = (hn * (1.0 + ada)).astype(cdtype)  # ada-RMSNorm (python:607-616)
-    g13 = jnp.einsum("td,hd->th", hn, lp["w13"], preferred_element_type=jnp.float32)
+    g13 = quant.mm(hn, lp, "w13", cdtype)
     gate = silu(g13[:, : cfg.hidden]) * g13[:, cfg.hidden :]
-    ffn = jnp.einsum(
-        "th,dh->td", gate.astype(cdtype), lp["w2"],
-        preferred_element_type=jnp.float32,
-    )
+    ffn = quant.mm(gate.astype(cdtype), lp, "w2", cdtype)
     return x + ffn.astype(x.dtype), k_all, v_all
 
 

@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import DOWNSAMPLE_FACTOR, EncoderConfig, VoxtralConfig
+from . import quant
 from ..ops.norms import gelu, rms_norm, silu
 from ..ops.ring import ring_attention, ring_write
 from ..ops.rope import apply_rope_interleaved, rope_cos_sin
@@ -104,10 +105,7 @@ def _enc_layer_step(cfg: EncoderConfig, cdtype, x, lp, k_all, v_all, li,
     qkv_dim = cfg.qkv_dim
 
     xn = rms_norm(x, lp["attn_norm"], cfg.norm_eps).astype(cdtype)
-    qkv = (
-        jnp.einsum("td,od->to", xn, lp["wqkv"], preferred_element_type=jnp.float32)
-        + lp["bqkv"]
-    )
+    qkv = quant.mm(xn, lp, "wqkv", cdtype) + lp["bqkv"]
     q = qkv[:, :qkv_dim].reshape(t, cfg.n_heads, cfg.head_dim)
     k = qkv[:, qkv_dim : 2 * qkv_dim].reshape(t, cfg.n_kv_heads, cfg.head_dim)
     v = qkv[:, 2 * qkv_dim :].reshape(t, cfg.n_kv_heads, cfg.head_dim)
@@ -127,21 +125,12 @@ def _enc_layer_step(cfg: EncoderConfig, cdtype, x, lp, k_all, v_all, li,
         window=cfg.window, out_dtype=cdtype,
     ).reshape(t, qkv_dim)
 
-    x = x + (
-        jnp.einsum("tq,dq->td", attn, lp["wo"], preferred_element_type=jnp.float32)
-        + lp["bo"]
-    ).astype(x.dtype)
+    x = x + (quant.mm(attn, lp, "wo", cdtype) + lp["bo"]).astype(x.dtype)
 
     hn = rms_norm(x, lp["ffn_norm"], cfg.norm_eps).astype(cdtype)
-    g13 = jnp.einsum("td,hd->th", hn, lp["w13"], preferred_element_type=jnp.float32)
+    g13 = quant.mm(hn, lp, "w13", cdtype)
     gate = silu(g13[:, : cfg.hidden]) * g13[:, cfg.hidden :]
-    ffn = (
-        jnp.einsum(
-            "th,dh->td", gate.astype(cdtype), lp["w2"],
-            preferred_element_type=jnp.float32,
-        )
-        + lp["b2"]
-    )
+    ffn = quant.mm(gate.astype(cdtype), lp, "w2", cdtype) + lp["b2"]
     return x + ffn.astype(x.dtype), k_all, v_all
 
 
