@@ -49,8 +49,9 @@ def bconv1(enc_params, cfg: VoxtralConfig, feed, tail):
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
 def bencode(enc_params, cfg: VoxtralConfig, x, cache: EncKVCache, pos0):
-    f = lambda xi, ci: enc_mod.encode_chunk(enc_params, cfg, xi, ci, pos0)
-    return jax.vmap(f)(x, cache)
+    """pos0: [B] per-slot encoder positions (broadcast a scalar for lockstep)."""
+    f = lambda xi, ci, pi: enc_mod.encode_chunk(enc_params, cfg, xi, ci, pi)
+    return jax.vmap(f)(x, cache, pos0)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -60,8 +61,9 @@ def badapter(adapter_params, cfg: VoxtralConfig, x):
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
 def bprefill(dec_params, cfg: VoxtralConfig, embeds, cache: KVCache, pos0, ada):
-    f = lambda e, c: dec_mod.prefill(dec_params, cfg, e, c, pos0, ada)
-    return jax.vmap(f)(embeds, cache)
+    """pos0: [B] per-slot decode positions."""
+    f = lambda e, c, pi: dec_mod.prefill(dec_params, cfg, e, c, pi, ada)
+    return jax.vmap(f)(embeds, cache, pos0)
 
 
 @partial(
@@ -69,10 +71,11 @@ def bprefill(dec_params, cfg: VoxtralConfig, embeds, cache: KVCache, pos0, ada):
 )
 def bdecode_burst(dec_params, cfg: VoxtralConfig, chunks, prev, cache: KVCache,
                   pos0, ada, n_alt: int = 0):
-    f = lambda ch, pv, c: dec_mod.decode_burst(
-        dec_params, cfg, ch, pv, c, pos0, ada, n_alt=n_alt
+    """pos0: [B] per-slot decode positions."""
+    f = lambda ch, pv, c, pi: dec_mod.decode_burst(
+        dec_params, cfg, ch, pv, c, pi, ada, n_alt=n_alt
     )
-    return jax.vmap(f)(chunks, prev, cache)
+    return jax.vmap(f)(chunks, prev, cache, pos0)
 
 
 def batched_dec_cache(cfg: VoxtralConfig, batch: int, cap: Optional[int] = None,
@@ -157,7 +160,7 @@ class BatchedTranscriber:
             c1, self.c1_tail = bconv1(eng.params["encoder"], cfg, feed, self.c1_tail)
             y, self.enc_cache = bencode(
                 eng.params["encoder"], cfg, c1, self.enc_cache,
-                jnp.int32(self.enc_pos),
+                jnp.full((self.b,), self.enc_pos, jnp.int32),
             )
             self.enc_pos += b
             self.enc_backlog.append(np.asarray(y))
@@ -189,7 +192,7 @@ class BatchedTranscriber:
             t0 = time.monotonic()
             self.dec_cache = bprefill(
                 eng.params["decoder"], cfg, jnp.asarray(rows[:, : L - 1]),
-                self.dec_cache, jnp.int32(0), eng.ada(),
+                self.dec_cache, jnp.zeros((self.b,), jnp.int32), eng.ada(),
             )
             jax.block_until_ready(self.dec_cache.k)
             self.decode_time += time.monotonic() - t0
@@ -202,7 +205,8 @@ class BatchedTranscriber:
             t0 = time.monotonic()
             toks, _, _, _, self.dec_cache = bdecode_burst(
                 eng.params["decoder"], cfg, chunk, jnp.asarray(self.prev),
-                self.dec_cache, jnp.int32(self.gen_pos), eng.ada(),
+                self.dec_cache, jnp.full((self.b,), self.gen_pos, jnp.int32),
+                eng.ada(),
             )
             toks = np.asarray(toks)    # [B, b]
             self.decode_time += time.monotonic() - t0
