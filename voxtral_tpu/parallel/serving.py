@@ -113,9 +113,10 @@ class BatchedTranscriber:
         self.c0_tail = jnp.zeros((batch, 2, cfg.encoder.n_mel), jnp.float32)
         self.c1_tail = jnp.zeros((batch, 2, cfg.encoder.dim), cfg.cdtype)
         self.enc_pos = 0
-        self.c0_backlog: list[np.ndarray] = []   # each [B, t, 1280]
-        self.enc_backlog: list[np.ndarray] = []
-        self.adapter_bufs: Optional[np.ndarray] = None  # [B, n, dim]
+        self.c0_backlog: list = []   # device arrays [B, t, 1280]
+        self.enc_backlog: list = []
+        self.adapter_bufs: list = []  # device arrays [B, g, dim]
+        self._adapter_cursor = 0      # rows of adapter_bufs[0] consumed
         self.total_adapter = 0
         self.decoder_started = False
         self.gen_pos = 0
@@ -126,7 +127,10 @@ class BatchedTranscriber:
         self.decode_time = 0.0
         self.encode_time = 0.0
 
-    def _take(self, backlog: list, n: int) -> np.ndarray:
+    def _take(self, backlog: list, n: int):
+        """Pop n rows (axis 1) from a list of device arrays.  Stays on
+        device: slice/concat shapes are periodic in the interval pattern, so
+        the jit cache stays bounded."""
         taken, got = [], 0
         while got < n:
             head = backlog[0]
@@ -136,10 +140,12 @@ class BatchedTranscriber:
                 got += head.shape[1]
                 backlog.pop(0)
             else:
-                taken.append(head[:, :need])
-                backlog[0] = head[:, need:]
+                taken.append(jax.lax.slice_in_dim(head, 0, need, axis=1))
+                backlog[0] = jax.lax.slice_in_dim(
+                    head, need, head.shape[1], axis=1
+                )
                 got = n
-        return taken[0] if len(taken) == 1 else np.concatenate(taken, axis=1)
+        return taken[0] if len(taken) == 1 else jnp.concatenate(taken, axis=1)
 
     def feed_mel(self, mel: np.ndarray):
         """mel: [B, T, 128] new frames for every stream (lockstep)."""
@@ -152,33 +158,31 @@ class BatchedTranscriber:
                 eng.params["encoder"], cfg, jnp.asarray(mel[:, i : i + b]),
                 self.c0_tail,
             )
-            self.c0_backlog.append(np.asarray(out))
+            self.c0_backlog.append(out)
             i += b
         avail = sum(a.shape[1] for a in self.c0_backlog)
         for b in decompose(avail // 2, eng.buckets):
-            feed = jnp.asarray(self._take(self.c0_backlog, 2 * b))
+            feed = self._take(self.c0_backlog, 2 * b)
             c1, self.c1_tail = bconv1(eng.params["encoder"], cfg, feed, self.c1_tail)
             y, self.enc_cache = bencode(
                 eng.params["encoder"], cfg, c1, self.enc_cache,
                 jnp.full((self.b,), self.enc_pos, jnp.int32),
             )
             self.enc_pos += b
-            self.enc_backlog.append(np.asarray(y))
+            self.enc_backlog.append(y)
         avail_e = sum(a.shape[1] for a in self.enc_backlog)
-        rows = []
         for g in decompose(avail_e // 4, eng.buckets):
-            x = jnp.asarray(self._take(self.enc_backlog, 4 * g))
-            rows.append(np.asarray(badapter(eng.params["adapter"], cfg, x),
-                                   dtype=np.float32))
-        if rows:
-            chunk = np.concatenate(rows, axis=1)
-            self.adapter_bufs = (
-                chunk if self.adapter_bufs is None
-                else np.concatenate([self.adapter_bufs, chunk], axis=1)
-            )
-            self.total_adapter += chunk.shape[1]
+            x = self._take(self.enc_backlog, 4 * g)
+            rows = badapter(eng.params["adapter"], cfg, x)
+            self.adapter_bufs.append(rows.astype(jnp.float32))
+            self.total_adapter += g
         jax.block_until_ready(self.enc_cache.k)
         self.encode_time += time.monotonic() - t0
+
+    def _take_adapter(self, n: int):
+        """Pop n adapter rows (device) — prompt prefill consumes rows 0..L-2
+        and bursts consume rows from gen_pos on; both walk the same queue."""
+        return self._take(self.adapter_bufs, n)
 
     def run_decoder(self):
         eng, cfg = self.eng, self.cfg
@@ -186,12 +190,18 @@ class BatchedTranscriber:
         if not self.decoder_started:
             if self.total_adapter < L:
                 return
-            rows = self.adapter_bufs[:, :L].copy()
-            rows[:, 0] += eng.embed_bos
-            rows[:, 1:] += eng.embed_pad
+            raw = self._take_adapter(L)                     # [B, L, dim]
+            # row L-1 is also the first burst's adapter row (the burst step
+            # at position L-1 adds tok_embed(PAD) itself): push it back raw
+            self.adapter_bufs.insert(0, raw[:, L - 1 :])
+            bos = jnp.asarray(eng.embed_bos)[None, None, :]
+            pad = jnp.asarray(eng.embed_pad)[None, None, :]
+            prompt = jnp.concatenate(
+                [raw[:, :1] + bos, raw[:, 1 : L - 1] + pad], axis=1
+            )                                               # [B, L-1, dim]
             t0 = time.monotonic()
             self.dec_cache = bprefill(
-                eng.params["decoder"], cfg, jnp.asarray(rows[:, : L - 1]),
+                eng.params["decoder"], cfg, prompt,
                 self.dec_cache, jnp.zeros((self.b,), jnp.int32), eng.ada(),
             )
             jax.block_until_ready(self.dec_cache.k)
@@ -201,7 +211,7 @@ class BatchedTranscriber:
         while self.gen_pos < self.total_adapter:
             avail = self.total_adapter - self.gen_pos
             b = next(x for x in eng.buckets if x <= avail)
-            chunk = jnp.asarray(self.adapter_bufs[:, self.gen_pos : self.gen_pos + b])
+            chunk = self._take_adapter(b)
             t0 = time.monotonic()
             toks, _, _, _, self.dec_cache = bdecode_burst(
                 eng.params["decoder"], cfg, chunk, jnp.asarray(self.prev),
