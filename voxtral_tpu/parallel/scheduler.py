@@ -254,14 +254,12 @@ class StreamPool:
         eng, cfg = self.eng, self.cfg
         s = self.slots[i]
         L = eng.prompt_len
-        rows = s.adapter_buf[:L].copy()
-        rows[0] += eng.embed_bos
-        rows[1:] += eng.embed_pad
+        rows = eng.prompt_embeds(s.adapter_buf[:L])
         from ..models.decoder import KVCache, prefill
 
         slot_cache = KVCache(self.dec_cache.k[i], self.dec_cache.v[i])
         slot_cache = prefill(
-            eng.params["decoder"], cfg, jnp.asarray(rows[: L - 1]),
+            eng.params["decoder"], cfg, rows[: L - 1],
             slot_cache, jnp.int32(0), eng.ada(),
         )
         self.dec_cache = type(self.dec_cache)(

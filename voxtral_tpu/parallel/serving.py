@@ -194,8 +194,8 @@ class BatchedTranscriber:
             # row L-1 is also the first burst's adapter row (the burst step
             # at position L-1 adds tok_embed(PAD) itself): push it back raw
             self.adapter_bufs.insert(0, raw[:, L - 1 :])
-            bos = jnp.asarray(eng.embed_bos)[None, None, :]
-            pad = jnp.asarray(eng.embed_pad)[None, None, :]
+            bos = eng.embed_bos[None, None, :]
+            pad = eng.embed_pad[None, None, :]
             prompt = jnp.concatenate(
                 [raw[:, :1] + bos, raw[:, 1 : L - 1] + pad], axis=1
             )                                               # [B, L-1, dim]

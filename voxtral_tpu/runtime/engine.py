@@ -100,9 +100,11 @@ class VoxtralEngine:
         self._ada = {}  # delay -> [L, dim] device array
         self._ada[self.delay_tokens] = ada_scales(params["decoder"], cfg)
 
+        # device-resident (a D2H fetch of parameter rows can stall remote
+        # tunnels; nothing on the host needs these values)
         emb = params["decoder"]["tok_embeddings"]
-        self.embed_bos = np.asarray(emb[TOKEN_BOS], dtype=np.float32)
-        self.embed_pad = np.asarray(emb[TOKEN_STREAMING_PAD], dtype=np.float32)
+        self.embed_bos = emb[TOKEN_BOS].astype(jnp.float32)
+        self.embed_pad = emb[TOKEN_STREAMING_PAD].astype(jnp.float32)
 
     # -- config ------------------------------------------------------------
     @property
@@ -146,10 +148,19 @@ class VoxtralEngine:
     def adapter(self, enc_out: jax.Array) -> jax.Array:
         return enc_mod.adapter_forward(self.params["adapter"], self.cfg, enc_out)
 
-    def prefill(self, embeds: np.ndarray, cache: KVCache, pos0: int) -> KVCache:
+    def prefill(self, embeds, cache: KVCache, pos0: int) -> KVCache:
         return dec_mod.prefill(
             self.params["decoder"], self.cfg, jnp.asarray(embeds), cache,
             jnp.int32(pos0), self.ada(),
+        )
+
+    def prompt_embeds(self, adapter_rows) -> jax.Array:
+        """[L, dim] adapter rows -> prompt embeddings on device:
+        row 0 + BOS embed, rows 1.. + STREAMING_PAD embed."""
+        rows = jnp.asarray(adapter_rows)
+        return jnp.concatenate(
+            [rows[:1] + self.embed_bos[None], rows[1:] + self.embed_pad[None]],
+            axis=0,
         )
 
     def decode_burst(self, adapter_chunk, prev_token: int, cache: KVCache,

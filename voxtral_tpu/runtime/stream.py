@@ -298,10 +298,8 @@ class VoxStream:
                 return
             self.waiting_prompt = False
             t0 = time.monotonic()
-            base = -self.adapter_pos_offset  # physical index of logical 0
-            rows = self.adapter_buf[base : base + prompt_len].copy()
-            rows[0] += eng.embed_bos
-            rows[1:] += eng.embed_pad
+            # adapter_pos_offset is always 0 before the decoder starts
+            rows = eng.prompt_embeds(self.adapter_buf[:prompt_len])
             self.dec_cache = eng.prefill(rows[: prompt_len - 1], self.dec_cache, 0)
             jax.block_until_ready(self.dec_cache.k)  # attribute time correctly
             self.dec_pos = prompt_len - 1
