@@ -90,10 +90,24 @@ def main():
     print(f"workload: {n_streams} streams x {seconds:.0f}s "
           f"({mel_one.shape[0]} mel frames each)", file=sys.stderr)
 
+    def run(tr, frames, label):
+        t = frames.shape[1]
+        i = 0
+        k = 0
+        while i < t:
+            n = min(interval_frames, t - i)
+            tr.feed_mel(frames[:, i : i + n])
+            tr.run_decoder()
+            i += n
+            k += 1
+            print(f"  {label} interval {k}: {i}/{t} frames, "
+                  f"{tr.decode_steps} steps", file=sys.stderr, flush=True)
+        return tr.tokens
+
     # --- warmup run (compilation) -----------------------------------------
     t0 = time.monotonic()
     warm = BatchedTranscriber(engine, n_streams)
-    warm.transcribe(mel[:, : 4 * interval_frames], interval_frames)
+    run(warm, mel[:, : 4 * interval_frames], "warmup")
     print(f"warmup+compile: {time.monotonic() - t0:.1f}s", file=sys.stderr)
     del warm
     import gc
@@ -102,7 +116,7 @@ def main():
     # --- timed run ---------------------------------------------------------
     t0 = time.monotonic()
     tr = BatchedTranscriber(engine, n_streams)
-    tokens = tr.transcribe(mel, interval_frames)
+    tokens = run(tr, mel, "timed")
     wall = time.monotonic() - t0
 
     # --- phase 2: single-stream p50 token latency at -I 0.5 ----------------
@@ -113,15 +127,18 @@ def main():
 
     chunk_n = 8000
     lat_ms: list[float] = []
-    for run in range(2):  # first run absorbs single-stream compiles
+    for run_i in range(2):  # first run absorbs single-stream compiles
         lat_ms = []
         s = VoxStream(engine)
         s.set_processing_interval(0.5)
-        for i in range(0, len(audio), chunk_n):
+        for j, i in enumerate(range(0, len(audio), chunk_n)):
             t1 = time.monotonic()
             s.feed(audio[i : i + chunk_n])
             dt = (time.monotonic() - t1) * 1000.0
             lat_ms += [dt] * len(s.get())
+            if j % 16 == 0:
+                print(f"  latency run {run_i} chunk {j}", file=sys.stderr,
+                      flush=True)
         s.finish()
         s.get()
     p50 = float(np.percentile(lat_ms, 50)) if lat_ms else -1.0
