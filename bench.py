@@ -18,12 +18,66 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 import numpy as np
 
 REF_X_REALTIME = 1.0 / 0.3998  # reference corpus RTF (SPEED.md:16)
+
+
+def _supervised() -> int:
+    """Run the measurement in a child process with a stall watchdog.
+
+    The remote-TPU tunnel in some environments occasionally drops an RPC and
+    wedges the client forever; the child prints progress lines, and a parent
+    that sees no output for BENCH_STALL_S seconds kills and retries."""
+    stall = float(os.environ.get("BENCH_STALL_S", "420"))
+    attempts = int(os.environ.get("BENCH_ATTEMPTS", "5"))
+    env = dict(os.environ, BENCH_INNER="1")
+    for a in range(1, attempts + 1):
+        print(f"[bench] attempt {a}/{attempts}", file=sys.stderr, flush=True)
+        proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        last = time.monotonic()
+        result = None
+        import selectors
+
+        sel = selectors.DefaultSelector()
+        sel.register(proc.stdout, selectors.EVENT_READ)
+        while proc.poll() is None:
+            events = sel.select(timeout=15)
+            if events:
+                line = proc.stdout.readline()
+                if line:
+                    last = time.monotonic()
+                    if line.lstrip().startswith("{") and '"metric"' in line:
+                        result = line.strip()
+                    else:
+                        print(line, end="", file=sys.stderr, flush=True)
+            if time.monotonic() - last > stall:
+                print(f"[bench] stalled {stall:.0f}s; killing child",
+                      file=sys.stderr, flush=True)
+                proc.kill()
+                break
+        for line in proc.stdout:
+            if line.lstrip().startswith("{") and '"metric"' in line:
+                result = line.strip()
+        if result:
+            print(result)
+            return 0
+        print("[bench] attempt failed; cooling down 60s", file=sys.stderr,
+              flush=True)
+        time.sleep(60)
+    print(json.dumps({
+        "metric": "aggregate_x_realtime_per_chip_60s_16streams",
+        "value": -1, "unit": "x_realtime", "vs_baseline": -1,
+        "extra": {"error": "all attempts stalled (TPU tunnel)"},
+    }))
+    return 1
 
 
 def main():
@@ -174,4 +228,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_INNER") or os.environ.get("BENCH_NO_SUPERVISOR"):
+        main()
+    else:
+        sys.exit(_supervised())
