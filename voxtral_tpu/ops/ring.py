@@ -50,8 +50,14 @@ def ring_write(ring: jax.Array, vals: jax.Array, pos0: jax.Array) -> jax.Array:
         vals_t = vals_t[:, t - cap :]
         start = jnp.mod(pos0 + (t - cap), cap)
         return jnp.roll(vals_t, shift=start, axis=1)
-    slots = jnp.mod(pos0 + jnp.arange(t, dtype=jnp.int32), cap)
-    return ring.at[:, slots].set(vals_t, mode="drop", unique_indices=True)
+    # Bulk write with wraparound: rotate the ring so the write lands at slot
+    # 0, update contiguously, rotate back.  Two rolls of a few MB compile to
+    # simple dynamic slices — far friendlier than a batched scatter (which
+    # pathologically slows some TPU compiles under vmap).
+    start = jnp.mod(pos0, cap)
+    rolled = jnp.roll(ring, -start, axis=1)
+    rolled = jax.lax.dynamic_update_slice(rolled, vals_t, (0, 0, 0))
+    return jnp.roll(rolled, start, axis=1)
 
 
 def slot_logical_positions(p_end: jax.Array, cap: int) -> jax.Array:
