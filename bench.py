@@ -264,10 +264,14 @@ def main():
         s = VoxStream(engine)
         s.set_processing_interval(0.5)
         for j, i in enumerate(range(0, len(audio), chunk_n)):
+            gen_before = s.n_generated
             t1 = time.monotonic()
             s.feed(audio[i : i + chunk_n])
             dt = (time.monotonic() - t1) * 1000.0
-            lat_ms += [dt] * len(s.get())
+            # latency applies to every token decoded in this feed (random
+            # weights rarely produce "text" tokens, so count decode steps)
+            lat_ms += [dt] * (s.n_generated - gen_before)
+            s.get()
             if j % 16 == 0:
                 log(f"latency run {run_i} chunk {j}")
         s.finish()

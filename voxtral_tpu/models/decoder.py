@@ -108,12 +108,23 @@ def _layer_step(
     q = apply_rope_interleaved(q, cos, sin)
     k = apply_rope_interleaved(k, cos, sin)
 
-    k_ring = jax.lax.dynamic_index_in_dim(k_all, li, axis=0, keepdims=False)
-    v_ring = jax.lax.dynamic_index_in_dim(v_all, li, axis=0, keepdims=False)
-    k_ring = ring_write(k_ring, k, pos0)
-    v_ring = ring_write(v_ring, v, pos0)
-    k_all = jax.lax.dynamic_update_index_in_dim(k_all, k_ring, li, axis=0)
-    v_all = jax.lax.dynamic_update_index_in_dim(v_all, v_ring, li, axis=0)
+    if t == 1:
+        # single-token fast path: write the one new row straight into the
+        # stacked cache — no whole-ring gather/scatter round trip
+        slot = jnp.mod(pos0, k_all.shape[2])
+        kt = jnp.swapaxes(k, 0, 1).astype(k_all.dtype)[None]   # [1, KH, 1, D]
+        vt = jnp.swapaxes(v, 0, 1).astype(v_all.dtype)[None]
+        k_all = jax.lax.dynamic_update_slice(k_all, kt, (li, 0, slot, 0))
+        v_all = jax.lax.dynamic_update_slice(v_all, vt, (li, 0, slot, 0))
+        k_ring = jax.lax.dynamic_index_in_dim(k_all, li, axis=0, keepdims=False)
+        v_ring = jax.lax.dynamic_index_in_dim(v_all, li, axis=0, keepdims=False)
+    else:
+        k_ring = jax.lax.dynamic_index_in_dim(k_all, li, axis=0, keepdims=False)
+        v_ring = jax.lax.dynamic_index_in_dim(v_all, li, axis=0, keepdims=False)
+        k_ring = ring_write(k_ring, k, pos0)
+        v_ring = ring_write(v_ring, v, pos0)
+        k_all = jax.lax.dynamic_update_index_in_dim(k_all, k_ring, li, axis=0)
+        v_all = jax.lax.dynamic_update_index_in_dim(v_all, v_ring, li, axis=0)
 
     if cfg.attn_impl == "flash" and t == 1:
         attn = flash_decode_attention(

@@ -113,12 +113,21 @@ def _enc_layer_step(cfg: EncoderConfig, cdtype, x, lp, k_all, v_all, li,
     q = apply_rope_interleaved(q, cos, sin)
     k = apply_rope_interleaved(k, cos, sin)
 
-    k_ring = jax.lax.dynamic_index_in_dim(k_all, li, axis=0, keepdims=False)
-    v_ring = jax.lax.dynamic_index_in_dim(v_all, li, axis=0, keepdims=False)
-    k_ring = ring_write(k_ring, k, pos0)
-    v_ring = ring_write(v_ring, v, pos0)
-    k_all = jax.lax.dynamic_update_index_in_dim(k_all, k_ring, li, axis=0)
-    v_all = jax.lax.dynamic_update_index_in_dim(v_all, v_ring, li, axis=0)
+    if t == 1:
+        slot = jnp.mod(pos0, k_all.shape[2])
+        kt = jnp.swapaxes(k, 0, 1).astype(k_all.dtype)[None]
+        vt = jnp.swapaxes(v, 0, 1).astype(v_all.dtype)[None]
+        k_all = jax.lax.dynamic_update_slice(k_all, kt, (li, 0, slot, 0))
+        v_all = jax.lax.dynamic_update_slice(v_all, vt, (li, 0, slot, 0))
+        k_ring = jax.lax.dynamic_index_in_dim(k_all, li, axis=0, keepdims=False)
+        v_ring = jax.lax.dynamic_index_in_dim(v_all, li, axis=0, keepdims=False)
+    else:
+        k_ring = jax.lax.dynamic_index_in_dim(k_all, li, axis=0, keepdims=False)
+        v_ring = jax.lax.dynamic_index_in_dim(v_all, li, axis=0, keepdims=False)
+        k_ring = ring_write(k_ring, k, pos0)
+        v_ring = ring_write(v_ring, v, pos0)
+        k_all = jax.lax.dynamic_update_index_in_dim(k_all, k_ring, li, axis=0)
+        v_all = jax.lax.dynamic_update_index_in_dim(v_all, v_ring, li, axis=0)
 
     attn = ring_attention(
         q.astype(cdtype), k_ring, v_ring, pos0,
