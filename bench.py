@@ -149,7 +149,9 @@ def main():
     print(f"bench device: {dev}", file=sys.stderr, flush=True)
 
     cfg = full_config()
-    eng_kwargs = dict(buckets=(256, 64, 16, 4, 1), enc_kv_ring=1024,
+    # big encode buckets cut per-call dispatch overhead (matters on remote
+    # tunnels); enc ring must cover window 750 + the largest bucket
+    eng_kwargs = dict(buckets=(512, 256, 64, 16, 4, 1), enc_kv_ring=1280,
                       dec_kv_ring=1024)
 
     model_dir = os.environ.get("VOXTRAL_MODEL_DIR", "")

@@ -108,8 +108,11 @@ def ring_attention(
     ) * scale
     scores = jnp.where(valid[None, None, :, :], scores, -jnp.inf)
     probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+    # PV matmul in the cache dtype with f32 accumulation: casting the probs
+    # down (bf16 on TPU, exactly the reference Metal f16 path) avoids
+    # materializing an f32 copy of the V ring every step.
     out = jnp.einsum(
-        "kgts,ksd->tkgd", probs, v_ring.astype(jnp.float32),
+        "kgts,ksd->tkgd", probs.astype(v_ring.dtype), v_ring,
         preferred_element_type=jnp.float32,
     )
     return out.reshape(t, h, d).astype(out_dtype)
