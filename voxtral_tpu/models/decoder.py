@@ -211,13 +211,32 @@ def prefill(
 def _alts_from_logits(logits: jax.Array, n_alt: int):
     """Top-`n_alt` text-range candidates (ids >= TOKEN_TEXT_MIN) by
     probability, plus the probability of the argmax token.  Host-side code
-    applies the 1 - p_i/p_best <= cutoff rule (voxtral.c:910-966)."""
+    applies the 1 - p_i/p_best <= cutoff rule (voxtral.c:910-966).
+
+    Implemented as n_alt iterated argmaxes rather than lax.top_k — a full
+    top-k over a 131072-wide vocab lowers to a sort on TPU and compiles/runs
+    pathologically slowly inside the decode scan; n_alt <= 4 argmax sweeps
+    are near-free (the same trick as the reference's repeated linear scans,
+    voxtral.c:941-957)."""
     probs = jax.nn.softmax(logits)
     best = jnp.argmax(logits).astype(jnp.int32)
     best_prob = probs[best]
     text_probs = probs[TOKEN_TEXT_MIN:]
-    top_p, top_i = jax.lax.top_k(text_probs, n_alt)
-    return best, best_prob, top_i.astype(jnp.int32) + TOKEN_TEXT_MIN, top_p
+
+    def body(i, state):
+        vals, idxs, rem = state
+        j = jnp.argmax(rem).astype(jnp.int32)
+        vals = vals.at[i].set(rem[j])
+        idxs = idxs.at[i].set(j)
+        rem = rem.at[j].set(-jnp.inf)
+        return vals, idxs, rem
+
+    vals0 = jnp.zeros((n_alt,), jnp.float32)
+    idxs0 = jnp.zeros((n_alt,), jnp.int32)
+    top_p, top_i, _ = jax.lax.fori_loop(
+        0, n_alt, body, (vals0, idxs0, text_probs.astype(jnp.float32))
+    )
+    return best, best_prob, top_i + TOKEN_TEXT_MIN, top_p
 
 
 @partial(
