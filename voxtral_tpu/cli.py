@@ -107,8 +107,11 @@ def main(argv=None):
         print(f"Loading model from {args.model_dir}", file=sys.stderr)
     params = load_params(args.model_dir, cfg, verbose=v >= 2)
     tok = TekkenTokenizer.load(os.path.join(args.model_dir, "tekken.json"))
+    # streaming bursts are bounded by the processing interval (~25 tokens at
+    # the 2 s default), so the 256-bucket's big scan program is not needed
     engine = VoxtralEngine(
         cfg, params, tokenizer=tok, dec_kv_ring=dec_ring,
+        buckets=(64, 16, 4, 1),
         decode_mode="jacobi" if args.jacobi else "sequential",
     )
     if args.delay is not None:
@@ -117,7 +120,11 @@ def main(argv=None):
         print(f"Model loaded in {time.monotonic() - t0:.1f}s; compiling "
               f"kernels...", file=sys.stderr)
         t0 = time.monotonic()
-    engine.warmup(n_alt=4 if args.alt is not None else 0)
+    engine.warmup(
+        n_alt=4 if args.alt is not None else 0,
+        progress=(lambda m: print(f"  {m}", file=sys.stderr, flush=True))
+        if v else None,
+    )
     if v:
         print(f"Warm-up done in {time.monotonic() - t0:.1f}s", file=sys.stderr)
 

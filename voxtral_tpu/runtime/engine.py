@@ -194,7 +194,7 @@ class VoxtralEngine:
         c1_tail = jnp.zeros((2, cfg.encoder.dim), cfg.cdtype)
         for b in self.buckets:
             if progress:
-                progress(f"warmup bucket {b}")
+                progress(f"warmup bucket {b} (+{time.monotonic() - t0:.0f}s)")
             mel = jnp.zeros((b, cfg.encoder.n_mel), jnp.float32)
             c0, _ = self.conv0(mel, c0_tail)
             feed = jnp.zeros((2 * b, cfg.encoder.dim), cfg.cdtype)
