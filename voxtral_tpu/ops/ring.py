@@ -51,13 +51,19 @@ def ring_write(ring: jax.Array, vals: jax.Array, pos0: jax.Array) -> jax.Array:
         start = jnp.mod(pos0 + (t - cap), cap)
         return jnp.roll(vals_t, shift=start, axis=1)
     # Bulk write with wraparound: rotate the ring so the write lands at slot
-    # 0, update contiguously, rotate back.  Two rolls of a few MB compile to
-    # simple dynamic slices — far friendlier than a batched scatter (which
-    # pathologically slows some TPU compiles under vmap).
+    # 0, update contiguously, rotate back.  Rotation by a dynamic amount is
+    # expressed as concat + dynamic_slice (static shapes, no gather/scatter —
+    # both of which compile pathologically on some TPU toolchains).
     start = jnp.mod(pos0, cap)
-    rolled = jnp.roll(ring, -start, axis=1)
+
+    def rotate(x, shift):  # left-rotate axis 1 by `shift`
+        return jax.lax.dynamic_slice(
+            jnp.concatenate([x, x], axis=1), (0, shift, 0), x.shape
+        )
+
+    rolled = rotate(ring, start)
     rolled = jax.lax.dynamic_update_slice(rolled, vals_t, (0, 0, 0))
-    return jnp.roll(rolled, start, axis=1)
+    return rotate(rolled, jnp.mod(cap - start, cap))
 
 
 def slot_logical_positions(p_end: jax.Array, cap: int) -> jax.Array:
