@@ -155,3 +155,30 @@ def test_no_decode_watchdog(engine):
     # (voxtral.c:1161-1163: need_restart >= 2 forces full_reset)
     assert not s.decoder_started and s.enc_pos == 0
     assert s.last_decode_sample == s.real_samples_fed
+
+
+@pytest.mark.slow
+def test_fused_streaming_matches_general(engine, cfg, params, tiny_tokenizer):
+    """The fused one-program audio path must produce identical transcripts
+    to the exact bucketed path."""
+    from voxtral_tpu.runtime.engine import VoxtralEngine
+
+    audio = make_audio(2.3, seed=71)
+
+    eng_general = VoxtralEngine(
+        cfg, params, tokenizer=tiny_tokenizer, buckets=(16, 4, 1),
+        enc_kv_ring=64, dec_kv_ring=64, fused_streaming=False,
+    )
+    eng_fused = VoxtralEngine(
+        cfg, params, tokenizer=tiny_tokenizer, buckets=(16, 4, 1),
+        enc_kv_ring=64, dec_kv_ring=64, fused_streaming=True,
+    )
+    eng_fused.fused_buckets = (16, 8)
+
+    ref, _ = _stream_tokens(eng_general, audio)
+    got, _ = _stream_tokens(eng_fused, audio)
+    assert got == ref
+
+    # odd feed sizes exercise the unaligned-remainder deferral
+    got2, _ = _stream_tokens(eng_fused, audio, feed_sizes=[1601, 1999, 403])
+    assert got2 == ref

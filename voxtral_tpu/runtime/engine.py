@@ -75,12 +75,17 @@ class VoxtralEngine:
         enc_kv_ring: Optional[int] = None,
         decode_mode: str = "sequential",   # or "jacobi" (models/jacobi.py)
         jacobi_window: int = 64,
+        fused_streaming: bool = True,      # one-call audio side for aligned chunks
     ):
         self.cfg = cfg
         self.params = params
         self.tokenizer = tokenizer
         assert decode_mode in ("sequential", "jacobi"), decode_mode
         self.decode_mode = decode_mode
+        self.fused_streaming = fused_streaming
+        # fused buckets are MEL frames (encoder chunk = bucket/2 positions);
+        # keep only sizes the encoder ring can hold alongside its window
+        self.fused_buckets = None  # set after enc ring is known (below)
         self.jacobi_window = jacobi_window
         self.jacobi_iters = []   # device scalars; summed lazily in stats
         self.buckets = tuple(sorted(buckets, reverse=True))
@@ -95,6 +100,10 @@ class VoxtralEngine:
             cfg.encoder.kv_ring, _pow2ceil(min_enc)
         )
         assert self.enc_kv_ring >= min_enc
+        self.fused_buckets = tuple(
+            b for b in (512, 64, 8)
+            if cfg.encoder.window + b // 2 <= self.enc_kv_ring
+        ) or (8,)
 
         self.delay_tokens = cfg.delay_tokens
         self._ada = {}  # delay -> [L, dim] device array
@@ -147,6 +156,16 @@ class VoxtralEngine:
 
     def adapter(self, enc_out: jax.Array) -> jax.Array:
         return enc_mod.adapter_forward(self.params["adapter"], self.cfg, enc_out)
+
+    def fused_encode(self, mel, tails, cache: EncKVCache, enc_pos: int):
+        """One-program conv+encoder+adapter for quantum-aligned mel chunks
+        (models/fused_stream.py)."""
+        from ..models.fused_stream import fused_encode_chunk
+
+        return fused_encode_chunk(
+            self.params["encoder"], self.params["adapter"], self.cfg,
+            jnp.asarray(mel), tails, cache, jnp.int32(enc_pos),
+        )
 
     def prefill(self, embeds, cache: KVCache, pos0: int) -> KVCache:
         return dec_mod.prefill(
@@ -208,5 +227,14 @@ class VoxtralEngine:
             dec_cache = out[-1]
         pf = jnp.zeros((self.prompt_len - 1, cfg.decoder.dim), jnp.float32)
         dec_cache = self.prefill(np.asarray(pf), dec_cache, 0)
+        if self.fused_streaming:
+            from ..models.fused_stream import ConvTails
+
+            tails = ConvTails.create(cfg)
+            for q in self.fused_buckets:
+                if progress:
+                    progress(f"warmup fused {q} (+{time.monotonic() - t0:.0f}s)")
+                mel = jnp.zeros((q, cfg.encoder.n_mel), jnp.float32)
+                _, tails, enc_cache = self.fused_encode(mel, tails, enc_cache, 0)
         jax.block_until_ready(dec_cache.k)
         return time.monotonic() - t0

@@ -188,6 +188,57 @@ class VoxStream:
 
         t0 = time.monotonic()
         mel = self.mel_ctx.data()[mel_start : mel_start + new_mel]
+
+        # Fast path: quantum-aligned prefix through ONE fused program per
+        # bucket (conv0+conv1+encoder+adapter — models/fused_stream.py).
+        # Valid exactly when no conv/group residuals are pending; the
+        # remainder (< 8 frames) waits for the next feed unless finishing.
+        if (
+            eng.fused_streaming
+            and not self._c0_backlog
+            and not self._enc_backlog
+        ):
+            from ..models.fused_stream import ConvTails
+
+            q_total = (new_mel // 8) * 8
+            i = 0
+            new_rows = []
+            tails = ConvTails(self._c0_tail, self._c1_tail)
+            for q in decompose(q_total, eng.fused_buckets):
+                rows, tails, self.enc_cache = eng.fused_encode(
+                    mel[i : i + q], tails, self.enc_cache, self.enc_pos
+                )
+                self.enc_pos += q // 2
+                new_rows.append(np.asarray(rows, dtype=np.float32))
+                i += q
+            self._c0_tail, self._c1_tail = tails.mel_tail, tails.c0_tail
+            self._conv_init = True
+            if new_rows:
+                chunk = np.concatenate(new_rows, axis=0)
+                self.adapter_buf = np.concatenate(
+                    [self.adapter_buf, chunk], axis=0
+                )
+                self.total_adapter += len(chunk)
+            self.mel_cursor += q_total
+            rem = new_mel - q_total
+            if rem > 0 and not self.finished:
+                # leave the unaligned tail for the next feed
+                jax.block_until_ready(self.enc_cache.k)
+                self.encoder_ms += (time.monotonic() - t0) * 1000.0
+                _mon("▶")
+                self.mel_ctx.discard_before(self.mel_cursor)
+                return
+            if rem == 0:
+                jax.block_until_ready(self.enc_cache.k)
+                self.encoder_ms += (time.monotonic() - t0) * 1000.0
+                _mon("▶")
+                self.mel_ctx.discard_before(self.mel_cursor)
+                return
+            # finishing with an unaligned tail: fall through to the exact
+            # bucketed path for the remaining < 8 frames
+            mel = mel[q_total:]
+            new_mel = rem
+
         self.mel_cursor = total_mel
 
         # conv0 over bucketed sub-chunks (tail carries boundary context)
