@@ -181,13 +181,16 @@ def decoder_forward(
 
 
 def final_logits(params: PyTree, cfg: VoxtralConfig, x: jax.Array) -> jax.Array:
-    """RMSNorm + tied-embedding logits in float32 (python:657-664).
-    x: [T, dim] -> [T, vocab]."""
+    """RMSNorm + tied-embedding logits with f32 accumulation (python:657-664;
+    the Metal path runs this matmul in f16, voxtral_metal.m:1254).  Operands
+    stay in the embedding dtype — casting the 131072x3072 table to f32 would
+    materialize 1.6 GB every step.  x: [T, dim] -> [T, vocab] f32."""
+    emb = params["tok_embeddings"]
     xn = rms_norm(x, params["final_norm"], cfg.decoder.norm_eps)
     return jnp.einsum(
         "td,vd->tv",
-        xn.astype(jnp.float32),
-        params["tok_embeddings"].astype(jnp.float32),
+        xn.astype(emb.dtype),
+        emb,
         preferred_element_type=jnp.float32,
     )
 
