@@ -256,6 +256,36 @@ def main():
     log(f"warmup total {run_warm[0]:.1f}s")
     wall, enc_s, dec_s, steps, tokens = run_once("timed")
 
+    # --- int8 weight-only variant: step time only (transcripts differ at
+    # near-ties, so it is reported as an extra, not the headline) -----------
+    int8_step_ms = -1.0
+    if os.environ.get("BENCH_INT8", "1") != "0":
+        from voxtral_tpu.models.quant import quantize_layer_stack
+
+        qdec = dict(params["decoder"])
+        qdec["layers"] = quantize_layer_stack(qdec["layers"])
+        jax.block_until_ready(qdec["layers"]["wqkv"])
+        dec_cache = sv.batched_dec_cache(cfg, n_streams, engine.dec_kv_ring)
+        chunk = jnp.zeros((n_streams, 64, cfg.decoder.dim), jnp.float32)
+        prev8 = jnp.full((n_streams,), 32, jnp.int32)
+        state = {"c": dec_cache}
+
+        def q_step():
+            toks, _, _, _, state["c"] = sv.bdecode_burst(
+                qdec, cfg, chunk, prev8, state["c"],
+                jnp.full((n_streams,), 100, jnp.int32), engine.ada(),
+            )
+            return toks
+
+        _ = np.asarray(q_step())
+        t0 = time.monotonic()
+        for _ in range(4):
+            toks8 = q_step()
+        _ = np.asarray(toks8)
+        int8_step_ms = 1000.0 * (time.monotonic() - t0) / (4 * 64)
+        log(f"int8 step {int8_step_ms:.2f} ms")
+        del state, dec_cache, qdec
+
     # --- phase 2: single-stream p50 token latency at -I 0.5 ----------------
     from voxtral_tpu.runtime.stream import VoxStream
 
@@ -295,6 +325,10 @@ def main():
         "tokens_per_s_aggregate": round(n_streams * steps / wall, 1),
         "p50_token_latency_ms_I0.5": round(p50, 1),
         "p90_token_latency_ms_I0.5": round(p90, 1),
+        "int8_decoder_step_ms_batched": round(int8_step_ms, 3),
+        "int8_aggregate_x_realtime_est": (
+            round(n_streams * 80.0 / int8_step_ms, 1) if int8_step_ms > 0 else -1
+        ),
         "device": str(dev),
         "weights": "real" if model_dir else "random",
     }

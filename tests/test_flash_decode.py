@@ -1,5 +1,6 @@
 """Pallas flash-decode kernel vs the XLA ring attention (interpret mode)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -63,3 +64,44 @@ def test_flash_decode_small_cap():
                                window=window, block=block, interpret=True)
     )
     np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_flash_batched_matches_per_stream():
+    """The (B, KH)-grid kernel with per-stream positions == per-stream calls."""
+    from voxtral_tpu.ops.flash_decode import flash_decode_attention_batched
+
+    rng = np.random.default_rng(11)
+    bsz, kh, g, d, cap, window, block = 3, 2, 4, 8, 64, 48, 16
+    h = kh * g
+    ks = jnp.asarray(rng.standard_normal((bsz, kh, cap, d)), jnp.float32)
+    vs = jnp.asarray(rng.standard_normal((bsz, kh, cap, d)), jnp.float32)
+    qs = jnp.asarray(rng.standard_normal((bsz, h, d)), jnp.float32)
+    pos = jnp.asarray([5, 40, 200], jnp.int32)
+
+    got = np.asarray(flash_decode_attention_batched(
+        qs, ks, vs, pos, window=window, block=block, interpret=True,
+    ))
+    for b in range(bsz):
+        ref = np.asarray(flash_decode_attention(
+            qs[b], ks[b], vs[b], pos[b], window=window, block=block,
+        ))
+        np.testing.assert_allclose(got[b], ref, atol=1e-5, rtol=1e-5)
+
+
+def test_flash_vmap_routes_to_batched():
+    """jax.vmap over the single-stream entry must work (custom_vmap rule)."""
+    rng = np.random.default_rng(13)
+    bsz, kh, g, d, cap, window, block = 2, 2, 2, 8, 32, 24, 8
+    h = kh * g
+    ks = jnp.asarray(rng.standard_normal((bsz, kh, cap, d)), jnp.float32)
+    vs = jnp.asarray(rng.standard_normal((bsz, kh, cap, d)), jnp.float32)
+    qs = jnp.asarray(rng.standard_normal((bsz, h, d)), jnp.float32)
+    pos = jnp.asarray([7, 29], jnp.int32)
+
+    f = lambda q, k, v, p: flash_decode_attention(
+        q, k, v, p, window=window, block=block
+    )
+    got = np.asarray(jax.vmap(f)(qs, ks, vs, pos))
+    for b in range(bsz):
+        ref = np.asarray(f(qs[b], ks[b], vs[b], pos[b]))
+        np.testing.assert_allclose(got[b], ref, atol=1e-5, rtol=1e-5)

@@ -29,3 +29,35 @@ def test_flash_decode_burst_matches_xla(tiny_tokenizer):
                           buckets=(16, 4, 1), enc_kv_ring=64, dec_kv_ring=64)
     tokens_flash = _run_engine_decode(eng_f, adapter_out, buckets=(1,))
     assert tokens_flash == tokens_xla
+
+
+def test_flash_batched_serving_matches_xla(tiny_tokenizer):
+    """bdecode_burst (vmapped serving path) with attn_impl=flash must equal
+    the XLA path — exercises the custom_vmap kernel routing end-to-end."""
+    import jax.numpy as jnp
+    from voxtral_tpu.parallel import serving as sv
+
+    cfg = tiny_config()
+    params = init_params(cfg, seed=0)
+    cfg_f = dataclasses.replace(
+        cfg, decoder=dataclasses.replace(cfg.decoder, attn_impl="flash")
+    )
+    rng = np.random.default_rng(3)
+    B, T = 3, 12
+    chunks = jnp.asarray(
+        (rng.standard_normal((B, T, cfg.decoder.dim)) * 0.5).astype(np.float32)
+    )
+    prev = jnp.asarray([32, 32, 32], jnp.int32)
+    pos = jnp.asarray([0, 0, 0], jnp.int32)
+
+    c1 = sv.batched_dec_cache(cfg, B, 64)
+    toks_x, _, _, _, _ = sv.bdecode_burst(
+        params["decoder"], cfg, chunks, prev, c1, pos,
+        jnp.zeros((cfg.decoder.n_layers, cfg.decoder.dim), jnp.float32),
+    )
+    c2 = sv.batched_dec_cache(cfg, B, 64)
+    toks_f, _, _, _, _ = sv.bdecode_burst(
+        params["decoder"], cfg_f, chunks, prev, c2, pos,
+        jnp.zeros((cfg.decoder.n_layers, cfg.decoder.dim), jnp.float32),
+    )
+    np.testing.assert_array_equal(np.asarray(toks_f), np.asarray(toks_x))
