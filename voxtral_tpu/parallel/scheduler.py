@@ -31,7 +31,6 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Optional
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -144,7 +143,6 @@ class StreamPool:
         b = self.b
         # uniform quantum: every slot with >= quantum new mel participates;
         # others ride along with zeros (outputs discarded)
-        new_mels = []
         takers = []
         for i, s in enumerate(self.slots):
             avail = (

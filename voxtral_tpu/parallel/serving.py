@@ -7,10 +7,10 @@ throughput scales ~linearly until compute or KV traffic dominates.  This
 module vmaps the single-stream programs over a stream axis; with a device
 mesh the batch axis shards over `dp` and heads/FFN over `tp` (parallel/mesh).
 
-Lockstep mode: all streams share the same chunk schedule (same feed sizes);
-each stream has its own audio, KV contents, and token feedback.  A host-side
-`BatchedTranscriber` mirrors the VoxStream control flow for the common case
-of equal-length inputs (the benchmark and batch-serving shape).
+All batched programs take PER-STREAM position vectors (vmapped), so they
+serve both the lockstep `BatchedTranscriber` below (equal-length inputs —
+the benchmark / batch-serving shape) and the dynamic per-slot scheduler in
+parallel/scheduler.py.
 """
 
 from __future__ import annotations
@@ -26,7 +26,7 @@ import numpy as np
 from ..config import TOKEN_EOS, TOKEN_STREAMING_PAD, VoxtralConfig
 from ..models import decoder as dec_mod
 from ..models import encoder as enc_mod
-from ..models.decoder import KVCache, ada_scales
+from ..models.decoder import KVCache
 from ..models.encoder import EncKVCache
 from ..runtime.engine import decompose
 
