@@ -78,6 +78,15 @@ def main(argv=None):
     stream_mod.monitor = args.monitor
     v = stream_mod.verbose
 
+    if args.from_mic:
+        # fail fast before the (long) model load if no capture backend exists
+        from shutil import which
+
+        if not (which("arecord") or which("ffmpeg")):
+            print("No mic capture backend (arecord/ffmpeg) available",
+                  file=sys.stderr)
+            return 1
+
     cfg = full_config()
     # VOX_DECODER_KV_FP16 analog (voxtral.c:166-167): KV cache storage dtype
     kv_env = os.environ.get("VOXTRAL_KV_DTYPE")
