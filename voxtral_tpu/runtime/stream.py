@@ -562,3 +562,11 @@ def transcribe_tokens(engine: VoxtralEngine, samples: np.ndarray) -> list[str]:
     out = s.get()
     s.print_stats()
     return out
+
+
+def transcribe_file(engine: VoxtralEngine, wav_path: str) -> str:
+    """vox_transcribe analog: load a WAV (any rate, any channels), resample
+    to 16 kHz, transcribe, return the joined text."""
+    from ..io.wav import load_wav
+
+    return transcribe_samples(engine, load_wav(wav_path))
