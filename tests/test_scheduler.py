@@ -70,3 +70,37 @@ def test_pool_admission_and_close(engine):
     c = pool.add_stream()
     assert c == a
     assert pool.slots[b].active
+
+
+@pytest.mark.slow
+def test_pool_join_leave_churn(engine):
+    """Slots joining and leaving mid-flight must not disturb live streams."""
+    pool = StreamPool(engine, n_slots=3, dec_kv_ring=64)
+    pad = np.zeros(17 * 1280, np.float32)
+    audio_a = make_audio(2.5, seed=81)
+
+    sa = pool.add_stream()
+    pool.slots[sa].continuous = False
+    pool.feed(sa, audio_a)
+    pool.feed(sa, pad)
+    # churn: other slots join, receive audio, get closed, rejoin
+    sb = pool.add_stream()
+    pool.feed(sb, make_audio(1.0, seed=82))
+    for i in range(14):
+        pool.tick()
+        if i == 3:
+            pool.close(sb)
+        if i == 6:
+            sc = pool.add_stream()
+            pool.slots[sc].continuous = False
+            pool.feed(sc, make_audio(1.5, seed=83))
+            pool.feed(sc, pad)
+    got_a = _pieces(engine, pool.get(sa))
+
+    s = VoxStream(engine)
+    s.set_processing_interval(0.1)
+    s.feed(audio_a)
+    s.feed(pad)
+    ref_a = s.get()
+    n = min(len(got_a), len(ref_a))
+    assert n > 0 and got_a[:n] == ref_a[:n]

@@ -291,7 +291,7 @@ def decode_burst(
         return (tok, cache2.k, cache2.v), (tok, alt_i, alt_p, best_p)
 
     positions = pos0 + jnp.arange(t_total, dtype=jnp.int32)
-    (last, k_all, v_all), (tokens, alt_ids, alt_probs, best_probs) = jax.lax.scan(
+    (_, k_all, v_all), (tokens, alt_ids, alt_probs, best_probs) = jax.lax.scan(
         step, (prev_token, cache.k, cache.v), (adapter_chunk, positions)
     )
     return tokens, alt_ids, alt_probs, best_probs, KVCache(k_all, v_all)
