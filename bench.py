@@ -89,39 +89,31 @@ def _supervised() -> int:
 
 
 def _encode_clip(engine, mel: np.ndarray, enc_cache, progress=None):
-    """Single-stream encode of a full padded mel -> device adapter rows.
+    """Single-stream encode of a full padded mel -> device adapter rows via
+    the fused conv+encoder+adapter program (one dispatch per chunk).
     Reuses `enc_cache` across streams (epoch reset via positions is free)."""
     import jax.numpy as jnp
 
+    from voxtral_tpu.models.fused_stream import ConvTails
     from voxtral_tpu.runtime.engine import decompose
 
     cfg = engine.cfg
-    c0_tail = jnp.zeros((2, cfg.encoder.n_mel), jnp.float32)
-    c1_tail = jnp.zeros((2, cfg.encoder.dim), cfg.cdtype)
-    c0_backlog, enc_backlog, rows = [], [], []
+    tails = ConvTails.create(cfg)
+    rows_out = []
+    q_total = (mel.shape[0] // 8) * 8  # the <8-frame tail holds no full token
     i = 0
     enc_pos = 0
-    for b in decompose((mel.shape[0] // 2) * 2, engine.buckets):
-        out, c0_tail = engine.conv0(jnp.asarray(mel[i : i + b]), c0_tail)
-        c0_backlog.append(out)
-        i += b
-        if progress and i % 2048 == 0:
-            progress(f"conv {i}/{mel.shape[0]}")
-    c0 = jnp.concatenate(c0_backlog, axis=0) if len(c0_backlog) > 1 else c0_backlog[0]
-    n_enc = c0.shape[0] // 2
-    j = 0
-    for b in decompose(n_enc, engine.buckets):
-        c1, c1_tail = engine.conv1(c0[j : j + 2 * b], c1_tail)
-        y, enc_cache = engine.encode(c1, enc_cache, enc_pos)
-        enc_pos += b
-        enc_backlog.append(y)
-        j += 2 * b
+    for q in decompose(q_total, engine.fused_buckets):
+        rows, tails, enc_cache = engine.fused_encode(
+            jnp.asarray(mel[i : i + q]), tails, enc_cache, enc_pos
+        )
+        enc_pos += q // 2
+        rows_out.append(rows)
+        i += q
         if progress:
-            progress(f"enc {enc_pos}/{n_enc}")
-    enc = jnp.concatenate(enc_backlog, axis=0)
-    usable = (enc.shape[0] // 4) * 4
-    rows = engine.adapter(enc[:usable])
-    return rows.astype(jnp.float32), enc_cache
+            progress(f"enc {enc_pos}/{q_total // 2}")
+    out = jnp.concatenate(rows_out, axis=0)
+    return out.astype(jnp.float32), enc_cache
 
 
 def main():
