@@ -42,24 +42,27 @@ def ring_write(ring: jax.Array, vals: jax.Array, pos0: jax.Array) -> jax.Array:
     t = vals.shape[0]
     vals = vals.astype(ring.dtype)
     vals_t = jnp.swapaxes(vals, 0, 1)  # [KH, T, D]
+    def rotate(x, shift):  # left-rotate axis 1 by `shift`
+        return jax.lax.dynamic_slice(
+            jnp.concatenate([x, x], axis=1), (0, shift, 0), x.shape
+        )
+
     if t == 1:
         slot = jnp.mod(pos0, cap)
         return jax.lax.dynamic_update_slice(ring, vals_t, (0, slot, 0))
     if t >= cap:
-        # Only the last `cap` rows survive.
+        # Only the last `cap` rows survive; row i lands at slot
+        # (start + i) mod cap, i.e. a right-rotation by `start` — expressed
+        # as the same concat+dynamic_slice rotate as the wraparound path
+        # (dynamic-shift roll on cache-sized arrays stalls TPU compiles).
         vals_t = vals_t[:, t - cap :]
         start = jnp.mod(pos0 + (t - cap), cap)
-        return jnp.roll(vals_t, shift=start, axis=1)
+        return rotate(vals_t, jnp.mod(cap - start, cap))
     # Bulk write with wraparound: rotate the ring so the write lands at slot
     # 0, update contiguously, rotate back.  Rotation by a dynamic amount is
     # expressed as concat + dynamic_slice (static shapes, no gather/scatter —
     # both of which compile pathologically on some TPU toolchains).
     start = jnp.mod(pos0, cap)
-
-    def rotate(x, shift):  # left-rotate axis 1 by `shift`
-        return jax.lax.dynamic_slice(
-            jnp.concatenate([x, x], axis=1), (0, shift, 0), x.shape
-        )
 
     rolled = rotate(ring, start)
     rolled = jax.lax.dynamic_update_slice(rolled, vals_t, (0, 0, 0))
