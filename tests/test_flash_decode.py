@@ -1,4 +1,8 @@
-"""Pallas flash-decode kernel vs the XLA ring attention (interpret mode)."""
+"""Pallas flash-decode kernel vs the XLA ring attention (interpret mode).
+
+The kernel consumes the STACKED [L, KH, cap, D] cache + a layer index (it
+slices the layer inside its DMAs); tests stack small rings and pick layers.
+"""
 
 import jax
 import jax.numpy as jnp
@@ -9,13 +13,7 @@ from voxtral_tpu.ops.flash_decode import flash_decode_attention
 from voxtral_tpu.ops.ring import ring_attention, ring_write
 
 
-@pytest.mark.parametrize("pos", [0, 3, 15, 16, 40, 63, 64, 100, 200])
-def test_flash_decode_matches_ring(pos):
-    rng = np.random.default_rng(pos)
-    cap, window, block = 64, 48, 16
-    kh, g, d = 2, 4, 8
-    h = kh * g
-
+def _filled_ring(rng, kh, cap, d, pos):
     k_ring = jnp.zeros((kh, cap, d), jnp.float32)
     v_ring = jnp.zeros((kh, cap, d), jnp.float32)
     for p in range(pos + 1):
@@ -23,15 +21,32 @@ def test_flash_decode_matches_ring(pos):
         vv = rng.standard_normal((1, kh, d)).astype(np.float32)
         k_ring = ring_write(k_ring, jnp.asarray(kv), jnp.int32(p))
         v_ring = ring_write(v_ring, jnp.asarray(vv), jnp.int32(p))
+    return k_ring, v_ring
+
+
+def _stack(*rings):
+    return jnp.stack(rings)
+
+
+@pytest.mark.parametrize("pos", [0, 3, 15, 16, 40, 63, 64, 100, 200])
+def test_flash_decode_matches_ring(pos):
+    rng = np.random.default_rng(pos)
+    cap, window, block = 64, 48, 16
+    kh, g, d = 2, 4, 8
+    h = kh * g
+
+    k0, v0 = _filled_ring(rng, kh, cap, d, pos)
+    k1, v1 = _filled_ring(rng, kh, cap, d, max(pos // 2, 0))
+    k_all, v_all = _stack(k1, k0), _stack(v1, v0)   # target layer = 1
 
     q = rng.standard_normal((h, d)).astype(np.float32)
     ref = np.asarray(
-        ring_attention(jnp.asarray(q)[None], k_ring, v_ring, jnp.int32(pos),
+        ring_attention(jnp.asarray(q)[None], k0, v0, jnp.int32(pos),
                        window=window)
     )[0]
     got = np.asarray(
         flash_decode_attention(
-            jnp.asarray(q), k_ring, v_ring, jnp.int32(pos),
+            jnp.asarray(q), k_all, v_all, jnp.int32(1), jnp.int32(pos),
             window=window, block=block, interpret=True,
         )
     )
@@ -44,46 +59,47 @@ def test_flash_decode_small_cap():
     cap, window, block = 32, 48, 8
     kh, g, d = 1, 2, 8
     h = kh * g
-    k_ring = jnp.zeros((kh, cap, d), jnp.float32)
-    v_ring = jnp.zeros((kh, cap, d), jnp.float32)
     pos = 50
-    for p in range(pos + 1):
-        k_ring = ring_write(
-            k_ring, jnp.asarray(rng.standard_normal((1, kh, d)), jnp.float32),
-            jnp.int32(p))
-        v_ring = ring_write(
-            v_ring, jnp.asarray(rng.standard_normal((1, kh, d)), jnp.float32),
-            jnp.int32(p))
+    k0, v0 = _filled_ring(rng, kh, cap, d, pos)
     q = rng.standard_normal((h, d)).astype(np.float32)
     ref = np.asarray(
-        ring_attention(jnp.asarray(q)[None], k_ring, v_ring, jnp.int32(pos),
+        ring_attention(jnp.asarray(q)[None], k0, v0, jnp.int32(pos),
                        window=window)
     )[0]
     got = np.asarray(
-        flash_decode_attention(jnp.asarray(q), k_ring, v_ring, jnp.int32(pos),
-                               window=window, block=block, interpret=True)
+        flash_decode_attention(
+            jnp.asarray(q), k0[None], v0[None], jnp.int32(0), jnp.int32(pos),
+            window=window, block=block, interpret=True,
+        )
     )
     np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
 
 
 def test_flash_batched_matches_per_stream():
-    """The (B, KH)-grid kernel with per-stream positions == per-stream calls."""
+    """The (B,)-grid kernel with per-stream positions == per-stream calls."""
     from voxtral_tpu.ops.flash_decode import flash_decode_attention_batched
 
     rng = np.random.default_rng(11)
-    bsz, kh, g, d, cap, window, block = 3, 2, 4, 8, 64, 48, 16
+    bsz, n_layers, kh, g, d = 3, 2, 2, 4, 8
+    cap, window, block = 64, 48, 16
     h = kh * g
-    ks = jnp.asarray(rng.standard_normal((bsz, kh, cap, d)), jnp.float32)
-    vs = jnp.asarray(rng.standard_normal((bsz, kh, cap, d)), jnp.float32)
+    ks = jnp.asarray(
+        rng.standard_normal((bsz, n_layers, kh, cap, d)), jnp.float32
+    )
+    vs = jnp.asarray(
+        rng.standard_normal((bsz, n_layers, kh, cap, d)), jnp.float32
+    )
     qs = jnp.asarray(rng.standard_normal((bsz, h, d)), jnp.float32)
     pos = jnp.asarray([5, 40, 200], jnp.int32)
 
     got = np.asarray(flash_decode_attention_batched(
-        qs, ks, vs, pos, window=window, block=block, interpret=True,
+        qs, ks, vs, jnp.int32(1), pos, window=window, block=block,
+        interpret=True,
     ))
     for b in range(bsz):
         ref = np.asarray(flash_decode_attention(
-            qs[b], ks[b], vs[b], pos[b], window=window, block=block,
+            qs[b], ks[b], vs[b], jnp.int32(1), pos[b],
+            window=window, block=block,
         ))
         np.testing.assert_allclose(got[b], ref, atol=1e-5, rtol=1e-5)
 
@@ -91,15 +107,20 @@ def test_flash_batched_matches_per_stream():
 def test_flash_vmap_routes_to_batched():
     """jax.vmap over the single-stream entry must work (custom_vmap rule)."""
     rng = np.random.default_rng(13)
-    bsz, kh, g, d, cap, window, block = 2, 2, 2, 8, 32, 24, 8
+    bsz, n_layers, kh, g, d = 2, 3, 2, 2, 8
+    cap, window, block = 32, 24, 8
     h = kh * g
-    ks = jnp.asarray(rng.standard_normal((bsz, kh, cap, d)), jnp.float32)
-    vs = jnp.asarray(rng.standard_normal((bsz, kh, cap, d)), jnp.float32)
+    ks = jnp.asarray(
+        rng.standard_normal((bsz, n_layers, kh, cap, d)), jnp.float32
+    )
+    vs = jnp.asarray(
+        rng.standard_normal((bsz, n_layers, kh, cap, d)), jnp.float32
+    )
     qs = jnp.asarray(rng.standard_normal((bsz, h, d)), jnp.float32)
     pos = jnp.asarray([7, 29], jnp.int32)
 
     f = lambda q, k, v, p: flash_decode_attention(
-        q, k, v, p, window=window, block=block
+        q, k, v, jnp.int32(2), p, window=window, block=block
     )
     got = np.asarray(jax.vmap(f)(qs, ks, vs, pos))
     for b in range(bsz):

@@ -20,14 +20,23 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def timeit(fn, n=3):
+def _sync(out):
+    """Force completion via a D2H fetch of the first array leaf —
+    block_until_ready alone has proven unreliable on remote tunnels."""
     import jax
 
-    fn()  # compile
+    leaves = jax.tree.leaves(out)
+    np.asarray(leaves[0])
+    return out
+
+
+def timeit(fn, n=5):
+    _sync(fn())  # compile + settle
+    _sync(fn())  # one hot run un-timed
     t0 = time.monotonic()
     for _ in range(n):
         out = fn()
-    jax.block_until_ready(out)
+    _sync(out)
     return (time.monotonic() - t0) / n
 
 
@@ -50,6 +59,14 @@ def main():
     print(f"device={jax.devices()[0]} batch={batch} ring={ring} burst={burst}",
           file=sys.stderr)
     cfg = full_config()
+    if os.environ.get("MB_ATTN"):  # force xla/flash/auto for A/B runs
+        import dataclasses as _dc
+
+        cfg = cfg.replace(
+            decoder=_dc.replace(cfg.decoder, attn_impl=os.environ["MB_ATTN"])
+        )
+    if os.environ.get("MB_KV"):    # KV ring storage dtype (e.g. float8_e4m3fn)
+        cfg = cfg.replace(kv_dtype=os.environ["MB_KV"])
     t0 = time.monotonic()
     params = init_params(cfg, seed=0)  # generated on device — no host transfer
     jax.block_until_ready(params)
@@ -60,22 +77,33 @@ def main():
     ada = eng.ada()
 
     if which in ("decode", "all"):
-        cache = sv.batched_dec_cache(cfg, batch, ring)
+        import dataclasses
+
         chunk = jnp.zeros((batch, burst, cfg.decoder.dim), jnp.float32)
         prev = jnp.full((batch,), 32, jnp.int32)
-        state = {"cache": cache}
+        pos = jnp.full((batch,), 500, jnp.int32)
+        cfg_flash = cfg.replace(
+            decoder=dataclasses.replace(cfg.decoder, attn_impl="flash")
+        )
+        variants = (
+            ("xla", cfg),
+            ("flash", cfg_flash),
+        )
+        for name, c in variants:
+            state = {"cache": sv.batched_dec_cache(cfg, batch, ring)}
 
-        def step():
-            toks, _, _, _, state["cache"] = sv.bdecode_burst(
-                eng.params["decoder"], cfg, chunk, prev, state["cache"],
-                jnp.int32(500), ada,
-            )
-            return toks
+            def step(c=c):
+                toks, _, _, _, state["cache"] = sv.bdecode_burst(
+                    eng.params["decoder"], c, chunk, prev, state["cache"],
+                    pos, ada,
+                )
+                return toks
 
-        t = timeit(step)
-        ms = 1000 * t / burst
-        print(f"decode burst: {1000*t:.1f} ms / {burst} steps = {ms:.2f} ms/step "
-              f"({batch} streams) -> {batch*80/ms:.1f}x realtime aggregate")
+            t = timeit(step)
+            ms = 1000 * t / burst
+            print(f"decode burst [{name}]: {1000*t:.1f} ms / {burst} steps = "
+                  f"{ms:.2f} ms/step ({batch} streams) -> "
+                  f"{batch*80/ms:.1f}x realtime aggregate")
 
     if which in ("prefill", "all"):
         cache = sv.batched_dec_cache(cfg, batch, ring)
@@ -83,7 +111,7 @@ def main():
         state = {"c": cache}
 
         def pf():
-            state["c"] = sv.bprefill(
+            state["c"] = sv.bprefill_lockstep(
                 eng.params["decoder"], cfg, embeds, state["c"], jnp.int32(0), ada
             )
             return state["c"].k
@@ -97,7 +125,7 @@ def main():
         state = {"c": ecache}
 
         def enc():
-            y, state["c"] = sv.bencode(
+            y, state["c"] = sv.bencode_lockstep(
                 eng.params["encoder"], cfg, x, state["c"], jnp.int32(100)
             )
             return y

@@ -41,6 +41,9 @@ TOKEN_TEXT_MIN = 1000      # first non-special token id
 # Streaming schedule constants (voxtral.c:360-386, python:69-99)
 # ---------------------------------------------------------------------------
 N_LEFT_PAD_TOKENS = 32
+# attn_impl="auto": ring capacities strictly above this use the Pallas
+# flash-decode kernel for single-token steps (see DecoderConfig.attn_impl)
+FLASH_RING_THRESHOLD = 1024
 DEFAULT_DELAY_TOKENS = 6           # 480 ms
 OFFLINE_STREAMING_BUFFER_TOKENS = 10
 STREAM_FIRST_CHUNK_MIN_MEL = 312   # enough mel for the 39 prompt adapter tokens
@@ -101,10 +104,16 @@ class DecoderConfig:
     # stream restarts before kv_len exceeds them (live mode restarts at
     # STREAM_MAX_DECODE_KV=2000, so 2048 suffices for serving).
     kv_ring: int = 8192
-    # "xla": full-ring masked attention (simple, vmappable).
-    # "flash": Pallas flash-decode kernel for single-token steps — streams
-    # only the live window blocks from HBM (ops/flash_decode.py).
-    attn_impl: str = "xla"
+    # Single-token decode attention:
+    #   "xla":   full-ring masked attention (reads the whole ring + masks).
+    #   "flash": Pallas flash-decode kernel — streams only the live-window
+    #            ring blocks from HBM (ops/flash_decode.py).
+    #   "auto":  flash when the ring is larger than the live window can
+    #            fill cheaply (cap > FLASH_RING_THRESHOLD), else xla.
+    #            Measured crossover on v5e (docs/PERF.md): at cap 1024 XLA
+    #            wins (12.66 vs 13.39 ms B=16); at cap >= 2048 the ring is
+    #            mostly dead slots and flash's skipped reads win.
+    attn_impl: str = "auto"
 
     @property
     def q_dim(self) -> int:

@@ -25,11 +25,16 @@ from typing import Any, NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..config import TOKEN_TEXT_MIN, DecoderConfig, VoxtralConfig
+from ..config import (
+    FLASH_RING_THRESHOLD,
+    TOKEN_TEXT_MIN,
+    DecoderConfig,
+    VoxtralConfig,
+)
 from . import quant
 from ..ops.flash_decode import flash_decode_attention
 from ..ops.norms import gelu, rms_norm, silu
-from ..ops.ring import ring_attention, ring_write
+from ..ops.ring import ring_attention, ring_rows_write, ring_write
 from ..ops.rope import apply_rope_interleaved, rope_cos_sin
 
 PyTree = Any
@@ -108,16 +113,38 @@ def _layer_step(
     q = apply_rope_interleaved(q, cos, sin)
     k = apply_rope_interleaved(k, cos, sin)
 
+    cap = k_all.shape[2]
+    use_flash = cfg.attn_impl == "flash" or (
+        cfg.attn_impl == "auto" and cap > FLASH_RING_THRESHOLD
+    )
+    # the flash kernel computes on bf16/f32 blocks; byte-wide (fp8) KV
+    # storage decodes through the XLA path, whose reads fuse the widening
+    use_flash = use_flash and k_all.dtype.itemsize >= 2
     if t == 1:
         # single-token fast path: write the one new row straight into the
-        # stacked cache — no whole-ring gather/scatter round trip
-        slot = jnp.mod(pos0, k_all.shape[2])
-        kt = jnp.swapaxes(k, 0, 1).astype(k_all.dtype)[None]   # [1, KH, 1, D]
-        vt = jnp.swapaxes(v, 0, 1).astype(v_all.dtype)[None]
-        k_all = jax.lax.dynamic_update_slice(k_all, kt, (li, 0, slot, 0))
-        v_all = jax.lax.dynamic_update_slice(v_all, vt, (li, 0, slot, 0))
-        k_ring = jax.lax.dynamic_index_in_dim(k_all, li, axis=0, keepdims=False)
-        v_ring = jax.lax.dynamic_index_in_dim(v_all, li, axis=0, keepdims=False)
+        # stacked cache — no whole-ring gather/scatter round trip.  Under
+        # stream-vmap this routes to one Pallas in-place DMA launch for all
+        # streams (ops/ring.py ring_rows_write).
+        k_all, v_all = ring_rows_write(k_all, v_all, k[0], v[0], li, pos0)
+        if use_flash:
+            # the kernel slices layer li inside its DMAs; pre-slicing here
+            # would materialize a full per-layer ring copy as the pallas
+            # operand (ops/flash_decode.py docstring)
+            attn = flash_decode_attention(
+                q[0].astype(cdtype), k_all, v_all, li, pos0,
+                window=cfg.window, out_dtype=cdtype,
+            )[None].reshape(t, q_dim)
+        else:
+            k_ring = jax.lax.dynamic_index_in_dim(
+                k_all, li, axis=0, keepdims=False
+            )
+            v_ring = jax.lax.dynamic_index_in_dim(
+                v_all, li, axis=0, keepdims=False
+            )
+            attn = ring_attention(
+                q.astype(cdtype), k_ring, v_ring, pos0,
+                window=cfg.window, out_dtype=cdtype,
+            ).reshape(t, q_dim)
     else:
         k_ring = jax.lax.dynamic_index_in_dim(k_all, li, axis=0, keepdims=False)
         v_ring = jax.lax.dynamic_index_in_dim(v_all, li, axis=0, keepdims=False)
@@ -125,13 +152,6 @@ def _layer_step(
         v_ring = ring_write(v_ring, v, pos0)
         k_all = jax.lax.dynamic_update_index_in_dim(k_all, k_ring, li, axis=0)
         v_all = jax.lax.dynamic_update_index_in_dim(v_all, v_ring, li, axis=0)
-
-    if cfg.attn_impl == "flash" and t == 1:
-        attn = flash_decode_attention(
-            q[0].astype(cdtype), k_ring, v_ring, pos0,
-            window=cfg.window, out_dtype=cdtype,
-        )[None].reshape(t, q_dim)
-    else:
         attn = ring_attention(
             q.astype(cdtype), k_ring, v_ring, pos0,
             window=cfg.window, out_dtype=cdtype,

@@ -7,14 +7,25 @@ attention Metal kernel (voxtral_shaders.metal:292-372, SPEED.md:160-169): it
 streams ONLY the ring blocks intersecting the live window, with an online
 softmax, double-buffering the HBM→VMEM block DMAs.
 
+Two design points bought the serving-shape win (docs/PERF.md):
+  * The kernel takes the STACKED [L, KH, cap, D] cache plus a layer index
+    and slices the layer inside its DMAs.  Feeding it a pre-sliced
+    `k_all[li]` instead forces XLA to MATERIALIZE the gathered layer ring
+    as a real buffer for the pallas operand (~134 MB per layer per step at
+    B=16 / cap 2048) — the fused-gather read the XLA attention path gets
+    for free.  Measured: flash at cap 2048 went from 19.5 ms/step (sliced
+    operand) to beating XLA once stacked.
+  * grid = (B,), ALL kv heads per instance: each block DMA moves
+    [KH, block, D] at once — KHx bigger transfers and KHx fewer grid
+    instances than a (B, KH) grid, amortizing DMA setup.
+
 Valid slots form a contiguous mod-cap interval [pos-valid+1 .. pos]; the
 kernel walks the ring blocks that intersect it.  Per-slot masking inside a
 block uses the same logical-position arithmetic as ops/ring.py.
 
-Layouts: q [B, KH, G, D]; k/v rings [B, KH, cap, D]; per-stream positions.
-Grid = (B, KH).  The single-stream entry wraps B=1, and a custom_vmap rule
-routes `jax.vmap(flash_decode_attention)` (the batched serving path) to the
-same batched kernel instead of failing or falling back.
+The single-stream entry wraps B=1, and a custom_vmap rule routes
+`jax.vmap(flash_decode_attention)` (the batched serving path) to the same
+batched kernel instead of failing or falling back.
 """
 
 from __future__ import annotations
@@ -31,26 +42,26 @@ DEFAULT_BLOCK = 512
 
 
 def _kernel(info_ref, q_ref, k_hbm, v_hbm, o_ref, k_buf, v_buf, sem,
-            *, cap: int, window: int, block: int, g: int, d: int):
+            *, cap: int, window: int, block: int, kh: int, g: int, d: int):
     b = pl.program_id(0)
-    kh = pl.program_id(1)
     pos = info_ref[b, 0]
     lo_block = info_ref[b, 1]
     nb = info_ref[b, 2]
+    li = info_ref[b, 3]
     n_blocks = cap // block
 
-    q = q_ref[0, 0].astype(jnp.float32) * (1.0 / math.sqrt(d))  # [G, D]
+    q = q_ref[0].astype(jnp.float32) * (1.0 / math.sqrt(d))  # [KH, G, D]
 
     def get_dma(slot, j):
         bidx = jax.lax.rem(lo_block + j, n_blocks)
         start = pl.multiple_of(bidx * block, block)
         return (
             pltpu.make_async_copy(
-                k_hbm.at[b, kh, pl.ds(start, block), :], k_buf.at[slot],
+                k_hbm.at[b, li, :, pl.ds(start, block), :], k_buf.at[slot],
                 sem.at[slot, 0],
             ),
             pltpu.make_async_copy(
-                v_hbm.at[b, kh, pl.ds(start, block), :], v_buf.at[slot],
+                v_hbm.at[b, li, :, pl.ds(start, block), :], v_buf.at[slot],
                 sem.at[slot, 1],
             ),
             bidx,
@@ -74,21 +85,21 @@ def _kernel(info_ref, q_ref, k_hbm, v_hbm, o_ref, k_buf, v_buf, sem,
         kd.wait()
         vd.wait()
 
-        kb = k_buf[slot].astype(jnp.float32)          # [block, D]
+        kb = k_buf[slot].astype(jnp.float32)          # [KH, block, D]
         vb = v_buf[slot].astype(jnp.float32)
         scores = jax.lax.dot_general(
-            q, kb, (((1,), (1,)), ((), ())),
+            q, kb, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )                                              # [G, block]
+        )                                              # [KH, G, block]
 
         slots = bidx * block + jax.lax.broadcasted_iota(
-            jnp.int32, (1, block), 1
-        )                                              # [1, block]
+            jnp.int32, (1, 1, block), 2
+        )                                              # [1, 1, block]
         logical = pos - jax.lax.rem(pos - slots + cap * 2, cap)
         valid = (logical >= 0) & (logical > pos - window) & (logical <= pos)
         scores = jnp.where(valid, scores, -jnp.inf)
 
-        m_blk = jnp.max(scores, axis=-1, keepdims=True)        # [G, 1]
+        m_blk = jnp.max(scores, axis=-1, keepdims=True)        # [KH, G, 1]
         m_new = jnp.maximum(m, m_blk)
         # guard: fully-masked block would give exp(-inf - -inf) = nan
         m_safe = jnp.where(jnp.isfinite(m_new), m_new, 0.0)
@@ -98,27 +109,28 @@ def _kernel(info_ref, q_ref, k_hbm, v_hbm, o_ref, k_buf, v_buf, sem,
         scale_prev = jnp.where(jnp.isfinite(m), scale_prev, 0.0)
         l_new = l * scale_prev + jnp.sum(p, axis=-1, keepdims=True)
         acc_new = acc * scale_prev + jax.lax.dot_general(
-            p, vb, (((1,), (0,)), ((), ())),
+            p, vb, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )
+        )                                              # [KH, G, D]
         return m_new, l_new, acc_new
 
-    m0 = jnp.full((g, 1), -jnp.inf, jnp.float32)
-    l0 = jnp.zeros((g, 1), jnp.float32)
-    acc0 = jnp.zeros((g, d), jnp.float32)
+    m0 = jnp.full((kh, g, 1), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((kh, g, 1), jnp.float32)
+    acc0 = jnp.zeros((kh, g, d), jnp.float32)
     m, l, acc = jax.lax.fori_loop(0, nb, body, (m0, l0, acc0))
-    o_ref[0, 0] = acc / jnp.maximum(l, 1e-30)
+    o_ref[0] = acc / jnp.maximum(l, 1e-30)
 
 
-def _info(pos, cap: int, window: int, block: int):
-    """Per-stream [3] int32: (pos, first ring block, number of blocks)."""
+def _info(pos, li, cap: int, window: int, block: int):
+    """Per-stream [4] int32: (pos, first ring block, n blocks, layer)."""
     n_blocks = cap // block
     valid = jnp.minimum(jnp.minimum(pos + 1, window), cap)
     lo_slot = jnp.mod(pos - valid + 1, cap)
     lo_block = lo_slot // block
     nb = (jnp.mod(lo_slot, block) + valid + block - 1) // block
     nb = jnp.minimum(nb, n_blocks)
-    return jnp.stack([pos, lo_block, nb], axis=-1).astype(jnp.int32)
+    li = jnp.broadcast_to(jnp.asarray(li, jnp.int32), jnp.shape(pos))
+    return jnp.stack([pos, lo_block, nb, li], axis=-1).astype(jnp.int32)
 
 
 @functools.partial(
@@ -126,8 +138,9 @@ def _info(pos, cap: int, window: int, block: int):
 )
 def flash_decode_attention_batched(
     q: jax.Array,          # [B, H, D]
-    k_ring: jax.Array,     # [B, KH, cap, D]
-    v_ring: jax.Array,
+    k_all: jax.Array,      # [B, L, KH, cap, D] stacked ring caches
+    v_all: jax.Array,
+    li: jax.Array,         # scalar int32 layer index
     pos: jax.Array,        # [B] int32 per-stream positions
     *,
     window: int,
@@ -136,7 +149,7 @@ def flash_decode_attention_batched(
     out_dtype=None,
 ):
     bsz, h, d = q.shape
-    _, kh, cap, _ = k_ring.shape
+    _, _, kh, cap, _ = k_all.shape
     g = h // kh
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -144,34 +157,34 @@ def flash_decode_attention_batched(
     assert cap % block == 0, (cap, block)
     out_dtype = out_dtype or q.dtype
 
-    info = _info(pos, cap, window, block)           # [B, 3]
+    info = _info(pos, li, cap, window, block)       # [B, 4]
     qg = q.reshape(bsz, kh, g, d)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(bsz, kh),
+        grid=(bsz,),
         in_specs=[
-            pl.BlockSpec((1, 1, g, d), lambda b, i, info: (b, i, 0, 0),
+            pl.BlockSpec((1, kh, g, d), lambda b, info: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, 1, g, d), lambda b, i, info: (b, i, 0, 0),
+        out_specs=pl.BlockSpec((1, kh, g, d), lambda b, info: (b, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, block, d), k_ring.dtype),
-            pltpu.VMEM((2, block, d), v_ring.dtype),
+            pltpu.VMEM((2, kh, block, d), k_all.dtype),
+            pltpu.VMEM((2, kh, block, d), v_all.dtype),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
     out = pl.pallas_call(
         functools.partial(
-            _kernel, cap=cap, window=window, block=block, g=g, d=d
+            _kernel, cap=cap, window=window, block=block, kh=kh, g=g, d=d
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((bsz, kh, g, d), jnp.float32),
         interpret=interpret,
-    )(info, qg, k_ring, v_ring)
+    )(info, qg, k_all, v_all)
     return out.reshape(bsz, h, d).astype(out_dtype)
 
 
@@ -181,26 +194,27 @@ def _single_fn(window: int, block, out_dtype_name):
     serving path (jax.vmap over streams) to the batched kernel."""
 
     @jax.custom_batching.custom_vmap
-    def single(q, k_ring, v_ring, pos):
+    def single(q, k_all, v_all, li, pos):
         out = flash_decode_attention_batched(
-            q[None], k_ring[None], v_ring[None], pos[None],
+            q[None], k_all[None], v_all[None], li, pos[None],
             window=window, block=block,
             out_dtype=jnp.dtype(out_dtype_name) if out_dtype_name else None,
         )
         return out[0]
 
     @single.def_vmap
-    def _rule(axis_size, in_batched, q, k_ring, v_ring, pos):
-        qb, kb, vb, pb = in_batched
+    def _rule(axis_size, in_batched, q, k_all, v_all, li, pos):
+        qb, kb, vb, lib, pb = in_batched
         bc = lambda x, batched: x if batched else jax.tree.map(
             lambda a: jnp.broadcast_to(a, (axis_size,) + a.shape), x
         )
         q = bc(q, qb)
-        k_ring = bc(k_ring, kb)
-        v_ring = bc(v_ring, vb)
+        k_all = bc(k_all, kb)
+        v_all = bc(v_all, vb)
         pos = bc(pos, pb)
+        li_s = li[0] if lib else li  # layer index is shared across streams
         out = flash_decode_attention_batched(
-            q, k_ring, v_ring, pos, window=window, block=block,
+            q, k_all, v_all, li_s, pos, window=window, block=block,
             out_dtype=jnp.dtype(out_dtype_name) if out_dtype_name else None,
         )
         return out, True
@@ -210,8 +224,9 @@ def _single_fn(window: int, block, out_dtype_name):
 
 def flash_decode_attention(
     q: jax.Array,          # [H, D] queries for ONE position
-    k_ring: jax.Array,     # [KH, cap, D]
-    v_ring: jax.Array,
+    k_all: jax.Array,      # [L, KH, cap, D] stacked ring caches
+    v_all: jax.Array,
+    li: jax.Array,         # scalar int32: layer to attend in
     pos: jax.Array,        # scalar int32: this query's (already written) pos
     *,
     window: int,
@@ -219,10 +234,13 @@ def flash_decode_attention(
     interpret: bool | None = None,
     out_dtype=None,
 ):
-    """Returns [H, D] attention output for the single query at `pos`.
-    vmap-compatible: batching over streams dispatches the (B, KH)-grid
-    kernel via a custom_vmap rule."""
+    """Returns [H, D] attention output for the single query at `pos` over
+    layer `li` of the stacked cache.  Pass the STACKED cache — slicing the
+    layer outside would materialize a full ring copy per call (see module
+    docstring).  vmap-compatible: batching over streams dispatches the
+    (B,)-grid kernel via a custom_vmap rule."""
     del interpret  # auto-selected inside the batched entry
     out_dtype_name = jnp.dtype(out_dtype).name if out_dtype else None
     fn = _single_fn(window, block, out_dtype_name)
-    return fn(q, k_ring, v_ring, jnp.asarray(pos, jnp.int32))
+    return fn(q, k_all, v_all, jnp.asarray(li, jnp.int32),
+              jnp.asarray(pos, jnp.int32))

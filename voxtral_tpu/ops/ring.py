@@ -28,6 +28,8 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 
 def ring_write(ring: jax.Array, vals: jax.Array, pos0: jax.Array) -> jax.Array:
@@ -67,6 +69,142 @@ def ring_write(ring: jax.Array, vals: jax.Array, pos0: jax.Array) -> jax.Array:
     rolled = rotate(ring, start)
     rolled = jax.lax.dynamic_update_slice(rolled, vals_t, (0, 0, 0))
     return rotate(rolled, jnp.mod(cap - start, cap))
+
+
+# KV-row DMA window: a single slot is below the sublane tiling granularity
+# (Mosaic: "slice along dim must be aligned to tiling (8)"), so the kernel
+# read-modify-writes an aligned window of slots around the target row.
+# bf16/f32 need 16; byte-wide (fp8) storage packs 4 sublanes/word -> 32.
+
+
+def _win(dtype) -> int:
+    return 32 if jnp.dtype(dtype).itemsize < 2 else 16
+
+
+def _rows_write_kernel(info_ref, k_vals, v_vals, k_in, v_in, k_out, v_out,
+                       kbuf, vbuf, sem, *, win):
+    # grid (B,): read the aligned window containing this stream's slot,
+    # overwrite the one row in VMEM, DMA it back — in place (k_in/v_in are
+    # aliased to k_out/v_out).
+    del k_in, v_in
+    b = pl.program_id(0)
+    s = info_ref[b, 0]
+    li = info_ref[b, 1]
+    s0 = (s // win) * win
+    off = s - s0
+
+    rk = pltpu.make_async_copy(
+        k_out.at[b, li, :, pl.ds(s0, win), :], kbuf, sem.at[0]
+    )
+    rv = pltpu.make_async_copy(
+        v_out.at[b, li, :, pl.ds(s0, win), :], vbuf, sem.at[1]
+    )
+    rk.start()
+    rv.start()
+    rk.wait()
+    rv.wait()
+
+    hit = jax.lax.broadcasted_iota(jnp.int32, (1, win, 1), 1) == off
+    kbuf[:] = jnp.where(hit, k_vals[0], kbuf[:])
+    vbuf[:] = jnp.where(hit, v_vals[0], vbuf[:])
+
+    wk = pltpu.make_async_copy(
+        kbuf, k_out.at[b, li, :, pl.ds(s0, win), :], sem.at[0]
+    )
+    wv = pltpu.make_async_copy(
+        vbuf, v_out.at[b, li, :, pl.ds(s0, win), :], sem.at[1]
+    )
+    wk.start()
+    wv.start()
+    wk.wait()
+    wv.wait()
+
+
+def _rows_write_batched(k_all, v_all, k_rows, v_rows, li, pos):
+    """k_all/v_all [B, L, KH, cap, D]; k_rows/v_rows [B, KH, D]; li scalar,
+    pos [B].  One Pallas launch writes every stream's row in place."""
+    bsz, n_layers, kh, cap, d = k_all.shape
+    win = _win(k_all.dtype)
+    assert cap % win == 0, (cap, win)
+    slots = jnp.mod(pos, cap).astype(jnp.int32)
+    info = jnp.stack(
+        [slots, jnp.broadcast_to(jnp.int32(li), slots.shape)], axis=-1
+    )                                                   # [B, 2]
+    kv4 = k_rows.astype(k_all.dtype)[:, :, None, :]     # [B, KH, 1, D]
+    vv4 = v_rows.astype(v_all.dtype)[:, :, None, :]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(bsz,),
+        in_specs=[
+            pl.BlockSpec((1, kh, 1, d), lambda b, info: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kh, 1, d), lambda b, info: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((kh, win, d), k_all.dtype),
+            pltpu.VMEM((kh, win, d), v_all.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        partial(_rows_write_kernel, win=win),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct(k_all.shape, k_all.dtype),
+            jax.ShapeDtypeStruct(v_all.shape, v_all.dtype),
+        ),
+        # operand indices COUNT the scalar-prefetch arg (cf. megablox gmm)
+        input_output_aliases={3: 0, 4: 1},
+        interpret=jax.default_backend() != "tpu",
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(info, kv4, vv4, k_all, v_all)
+
+
+@jax.custom_batching.custom_vmap
+def ring_rows_write(k_all, v_all, k_row, v_row, li, pos):
+    """Write one position's K/V rows into the stacked [L, KH, cap, D] caches
+    at (li, :, pos % cap, :).
+
+    Single stream: two dynamic_update_slices (what the reference's
+    kv_cache_copy kernel does, voxtral_shaders.metal:260-272).  Batched over
+    streams (jax.vmap in the serving path), XLA lowers vmapped dus with
+    per-stream indices to a B-iteration while loop — profiled at ~3.6 ms per
+    B=16 decode step, the single biggest non-weight cost — so a custom_vmap
+    rule routes it to ONE Pallas launch that DMAs all B rows in place.
+
+    k_row/v_row: [KH, D]; li, pos: scalar int32.
+    """
+    cap = k_all.shape[2]
+    slot = jnp.mod(pos, cap)
+    kt = k_row.astype(k_all.dtype)[None, :, None, :]    # [1, KH, 1, D]
+    vt = v_row.astype(v_all.dtype)[None, :, None, :]
+    k_all = jax.lax.dynamic_update_slice(k_all, kt, (li, 0, slot, 0))
+    v_all = jax.lax.dynamic_update_slice(v_all, vt, (li, 0, slot, 0))
+    return k_all, v_all
+
+
+@ring_rows_write.def_vmap
+def _ring_rows_write_vmap(axis_size, in_batched, k_all, v_all, k_row, v_row,
+                          li, pos):
+    kb, vb, krb, vrb, lib, pb = in_batched
+    assert kb and vb, "caches must be batched over streams"
+
+    def bc(x, batched):
+        return x if batched else jnp.broadcast_to(x, (axis_size,) + jnp.shape(x))
+
+    k_row = bc(k_row, krb)
+    v_row = bc(v_row, vrb)
+    pos = bc(pos, pb)
+    li_s = li if not lib else li[0]  # layer index is shared across streams
+    k_all, v_all = _rows_write_batched(k_all, v_all, k_row, v_row, li_s, pos)
+    return (k_all, v_all), (True, True)
 
 
 def slot_logical_positions(p_end: jax.Array, cap: int) -> jax.Array:
@@ -111,17 +249,22 @@ def ring_attention(
     )                                                          # [T, cap]
 
     qg = q.reshape(t, kh, g, d)
+    # Matmul dtype: the cache dtype when it is a matmul-native float (the
+    # reference Metal f16 path), else the query compute dtype for byte-wide
+    # (fp8) KV storage — XLA fuses the widening convert into the ring read,
+    # so HBM traffic stays at the storage width (the point of fp8 KV).
+    mm_dtype = k_ring.dtype if k_ring.dtype.itemsize >= 2 else q.dtype
     # scores: [KH, G, T, cap]
     scores = jnp.einsum(
-        "tkgd,ksd->kgts", qg, k_ring, preferred_element_type=jnp.float32
+        "tkgd,ksd->kgts", qg.astype(mm_dtype), k_ring.astype(mm_dtype),
+        preferred_element_type=jnp.float32,
     ) * scale
     scores = jnp.where(valid[None, None, :, :], scores, -jnp.inf)
     probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
-    # PV matmul in the cache dtype with f32 accumulation: casting the probs
-    # down (bf16 on TPU, exactly the reference Metal f16 path) avoids
-    # materializing an f32 copy of the V ring every step.
+    # PV matmul with f32 accumulation: casting the probs down (bf16, not
+    # f32) avoids materializing an f32 copy of the V ring every step.
     out = jnp.einsum(
-        "kgts,ksd->tkgd", probs.astype(v_ring.dtype), v_ring,
+        "kgts,ksd->tkgd", probs.astype(mm_dtype), v_ring.astype(mm_dtype),
         preferred_element_type=jnp.float32,
     )
     return out.reshape(t, h, d).astype(out_dtype)
