@@ -33,6 +33,56 @@ def test_quantized_decode_runs_and_tracks(engine, cfg, params):
     assert agree >= 0.5, agree
 
 
+def test_engine_quantize_kwarg_end_to_end(cfg, params, tiny_tokenizer):
+    """VoxtralEngine(quantize=True) — the CLI --int8 path — must stream a
+    clip end-to-end (decoder weights int8, encoder exact)."""
+    from conftest import make_audio
+    from voxtral_tpu.runtime.engine import VoxtralEngine
+    from voxtral_tpu.runtime.stream import transcribe_tokens
+
+    eng = VoxtralEngine(
+        cfg, params, tokenizer=tiny_tokenizer, buckets=(16, 4, 1),
+        enc_kv_ring=64, dec_kv_ring=64, quantize=True,
+    )
+    assert eng.quantized
+    assert eng.params["decoder"]["layers"]["wqkv"].dtype == jnp.int8
+    assert eng.params["encoder"]["layers"]["wqkv"].dtype != jnp.int8
+    toks = transcribe_tokens(eng, make_audio(1.6, seed=41))
+    assert len(toks) > 0
+
+
+def test_fp8_kv_cache_end_to_end(params, tiny_tokenizer):
+    """kv_dtype="float8_e4m3fn" (the VOXTRAL_KV_DTYPE fp8 ladder rung —
+    halves KV ring traffic vs bf16): streams end-to-end, and the decoded
+    sequence broadly tracks the f32-KV engine on the same audio."""
+    from conftest import make_audio
+    from voxtral_tpu.config import tiny_config
+    from voxtral_tpu.runtime.engine import VoxtralEngine
+    from voxtral_tpu.runtime.stream import transcribe_tokens
+
+    audio = make_audio(1.6, seed=47)
+
+    def run(kv):
+        cfg = tiny_config().replace(kv_dtype=kv)
+        eng = VoxtralEngine(
+            cfg, params, tokenizer=tiny_tokenizer, buckets=(16, 4, 1),
+            enc_kv_ring=64, dec_kv_ring=64,
+        )
+        assert eng.new_dec_cache().k.dtype == jnp.dtype(kv)
+        return run_tokens(eng)
+
+    def run_tokens(eng):
+        return transcribe_tokens(eng, audio)
+
+    ref = run("float32")
+    got = run("float8_e4m3fn")
+    assert len(got) > 0
+    m = min(len(ref), len(got))
+    agree = sum(a == b for a, b in zip(ref[:m], got[:m])) / m
+    # random tiny weights are the worst case for rounding-flip chaos
+    assert agree >= 0.5, (agree, ref, got)
+
+
 def test_quantized_forward_logits_close(engine, cfg, params):
     rng = np.random.default_rng(3)
     embeds = (rng.standard_normal((6, cfg.decoder.dim)) * 0.5).astype(np.float32)

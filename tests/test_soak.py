@@ -41,10 +41,10 @@ def test_continuous_soak(engine):
                 restarts += 1
             last_dec_pos = s.dec_pos
             # live-mode bound: dec position can never exceed the threshold
-            # by more than one burst bucket
-            assert s.dec_pos <= 56 + 16 + engine.prompt_len
-            # host buffers stay bounded
-            assert len(s.adapter_buf) < 512
+            # by more than one burst (exact-size bursts are < 32)
+            assert s.dec_pos <= 56 + 32 + engine.prompt_len
+            # queued adapter rows stay bounded
+            assert sum(a.shape[0] for a in s.adapter_q) < 512
             assert s.mel_ctx.n_frames < 2048
         assert total_tokens > 0
         assert restarts >= 1, "expected at least one live-mode restart"

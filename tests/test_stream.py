@@ -112,7 +112,6 @@ def test_restart_counters(engine):
     s.decoder_started = True
     s.dec_pos = 2001  # > STREAM_MAX_DECODE_KV
     s.total_adapter = 10
-    s.adapter_pos_offset = 0
     s._maybe_restart()
     # KV overflow forces a *full* reset
     assert s.dec_pos == 0 and not s.decoder_started
@@ -155,6 +154,36 @@ def test_no_decode_watchdog(engine):
     # (voxtral.c:1161-1163: need_restart >= 2 forces full_reset)
     assert not s.decoder_started and s.enc_pos == 0
     assert s.last_decode_sample == s.real_samples_fed
+
+
+def test_continuous_ring_overflow_restarts_not_raises(params, tiny_tokenizer):
+    """A live stream whose per-pass backlog would cross the KV-ring cap must
+    restart (KV-overflow full reset) instead of raising mid-stream.  Uses a
+    ring smaller than the window so a single large burst hits the cap
+    (ADVICE r1: reachable in the CLI live mode with -I ~5)."""
+    from voxtral_tpu.config import tiny_config
+    from voxtral_tpu.runtime.engine import VoxtralEngine
+
+    cfg = tiny_config(dec_window=96, dec_kv_ring=64)
+    eng = VoxtralEngine(
+        cfg, params, tokenizer=tiny_tokenizer, buckets=(16, 4, 1),
+        enc_kv_ring=64, dec_kv_ring=64,
+    )
+    audio = make_audio(8.0, seed=23)
+    s = VoxStream(eng)
+    s.set_continuous(True)
+    s.set_processing_interval(6.0)  # one huge backlog per pass
+    # prompt (39) + backlog must cross the 64-slot ring inside one burst loop
+    s.feed(audio)
+    assert s._ring_overflow is False  # cleared by the reset
+    assert s.dec_pos <= eng.dec_kv_ring
+    # the overflow escalated to a full reset (need=2)
+    assert not s.decoder_started or s.dec_pos < 64
+    # and the non-continuous stream still raises loudly
+    s2 = VoxStream(eng)
+    s2.set_processing_interval(6.0)
+    with pytest.raises(RuntimeError, match="KV ring"):
+        s2.feed(audio)
 
 
 @pytest.mark.slow

@@ -64,9 +64,13 @@ def main(argv=None):
     p.add_argument("--jacobi", action="store_true",
                    help="Jacobi fixpoint burst decoding (exact greedy, "
                         "usually much faster single-stream)")
+    p.add_argument("--int8", action="store_true",
+                   help="int8 weight-only decoder quantization: ~2x decode "
+                        "throughput, but transcripts may differ from bf16 on "
+                        "near-tied tokens")
     args = p.parse_args(argv)
 
-    from .config import SAMPLE_RATE, full_config
+    from .config import SAMPLE_RATE, STREAM_DEFAULT_INTERVAL_S, full_config
     from .io.wav import load_wav, parse_wav_bytes, resample_linear
     from .models.params import load_params
     from .runtime import stream as stream_mod
@@ -122,6 +126,7 @@ def main(argv=None):
         cfg, params, tokenizer=tok, dec_kv_ring=dec_ring,
         buckets=(64, 16, 4, 1),
         decode_mode="jacobi" if args.jacobi else "sequential",
+        quantize=args.int8,
     )
     if args.delay is not None:
         engine.set_delay(args.delay)
@@ -133,6 +138,8 @@ def main(argv=None):
         n_alt=4 if args.alt is not None else 0,
         progress=(lambda m: print(f"  {m}", file=sys.stderr, flush=True))
         if v else None,
+        interval_s=args.interval if args.interval is not None
+        else STREAM_DEFAULT_INTERVAL_S,
     )
     if v:
         print(f"Warm-up done in {time.monotonic() - t0:.1f}s", file=sys.stderr)
@@ -222,25 +229,13 @@ def main(argv=None):
         s = new_stream()
         s.set_continuous(True)
         proc = subprocess.Popen(cmd, stdout=subprocess.PIPE)
+        from .mic import MicCapture, run_mic_loop
+
+        cap = MicCapture(proc.stdout)
         try:
-            # 100 ms reads; silence gating like main.c:235-296 is handled by
-            # the engine's watchdogs + flush on long silence
-            silent_ms = 0
-            while True:
-                raw = proc.stdout.read(3200)
-                if not raw:
-                    break
-                pcm = np.frombuffer(raw[: len(raw) // 2 * 2], dtype="<i2")
-                f = pcm.astype(np.float32) / 32768.0
-                rms = float(np.sqrt(np.mean(f * f))) if len(f) else 0.0
-                s.feed(f)
-                if rms < 0.01:
-                    silent_ms += 100
-                    if silent_ms == 700:  # one flush after ~600ms silence
-                        s.flush()
-                else:
-                    silent_ms = 0
-                _drain(s, state, alt_mode)
+            # over-buffer catch-up + silence gating + skip-feed during
+            # extended silence (main.c:235-296) — see voxtral_tpu/mic.py
+            run_mic_loop(s, cap, lambda: _drain(s, state, alt_mode))
         except KeyboardInterrupt:
             pass
         finally:

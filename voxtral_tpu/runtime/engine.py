@@ -76,8 +76,17 @@ class VoxtralEngine:
         decode_mode: str = "sequential",   # or "jacobi" (models/jacobi.py)
         jacobi_window: int = 64,
         fused_streaming: bool = True,      # one-call audio side for aligned chunks
+        quantize: bool = False,            # int8 weight-only decoder (models/quant.py)
     ):
         self.cfg = cfg
+        if quantize:
+            # decoder only: that's where the bandwidth-bound traffic is; the
+            # encoder stays exact.  Transcripts may differ from bf16 on
+            # near-tied tokens (models/quant.py docstring).
+            from ..models.quant import quantize_params
+
+            params = quantize_params(params, encoder=False)
+        self.quantized = quantize
         self.params = params
         self.tokenizer = tokenizer
         assert decode_mode in ("sequential", "jacobi"), decode_mode
@@ -100,10 +109,12 @@ class VoxtralEngine:
             cfg.encoder.kv_ring, _pow2ceil(min_enc)
         )
         assert self.enc_kv_ring >= min_enc
+        # Large power-of-two fused buckets only; small chunks (the streaming
+        # steady state) run as ONE exact-size program via fused_sizes().
         self.fused_buckets = tuple(
-            b for b in (512, 64, 8)
+            b for b in (512, 256)
             if cfg.encoder.window + b // 2 <= self.enc_kv_ring
-        ) or (8,)
+        )
 
         self.delay_tokens = cfg.delay_tokens
         self._ada = {}  # delay -> [L, dim] device array
@@ -137,6 +148,36 @@ class VoxtralEngine:
 
     def new_enc_cache(self) -> EncKVCache:
         return EncKVCache.create(self.cfg.encoder, self.cfg.kvdtype, self.enc_kv_ring)
+
+    # -- dispatch planning ---------------------------------------------------
+    def fused_sizes(self, q_total: int) -> list[int]:
+        """Dispatch plan (mel-frame chunk sizes) for a quantum-aligned chunk:
+        large power-of-two buckets down to 256, then ONE exact-size program
+        for the tail — so a steady streaming feed (< 2.6 s) is a single
+        device call.  Exact sizes compile once each (few distinct values per
+        run; warmup(interval_s=...) precompiles the steady-state ones).  The
+        tail is still split if the encoder ring cannot hold window + chunk."""
+        cap = 2 * (self.enc_kv_ring - self.cfg.encoder.window)
+        cap -= cap % 8
+        out = []
+        for b in self.fused_buckets:
+            while q_total >= b:
+                out.append(b)
+                q_total -= b
+        while q_total > 0:
+            q = min(q_total, cap)
+            out.append(q)
+            q_total -= q
+        return out
+
+    def burst_size(self, avail: int) -> int:
+        """Decode-burst size for `avail` pending adapter rows.  Small
+        backlogs (the per-feed steady state at any -I <= 2.5 s) decode in ONE
+        exact-size program; large backlogs use the power buckets.  One
+        dispatch per feed instead of a greedy bucket cascade."""
+        if avail < 32:
+            return avail
+        return next(x for x in self.buckets if x <= avail)
 
     # -- compiled-program wrappers (bucketed) --------------------------------
     def conv0(self, mel: jax.Array, tail: jax.Array):
@@ -187,7 +228,12 @@ class VoxtralEngine:
         if self.decode_mode == "jacobi":
             from ..models.jacobi import decode_burst_jacobi
 
-            w = min(self.jacobi_window, len(adapter_chunk))
+            t = len(adapter_chunk)
+            # largest divisor of t within the window (exact-size bursts are
+            # not always window-aligned)
+            w = min(self.jacobi_window, t)
+            while t % w:
+                w -= 1
             toks, ai, ap, bp, cache, iters = decode_burst_jacobi(
                 self.params["decoder"], self.cfg, jnp.asarray(adapter_chunk),
                 jnp.int32(prev_token), cache, jnp.int32(pos0), self.ada(),
@@ -202,9 +248,11 @@ class VoxtralEngine:
         )
 
     # -- warm-up -------------------------------------------------------------
-    def warmup(self, n_alt: int = 0, progress=None):
+    def warmup(self, n_alt: int = 0, progress=None, interval_s: Optional[float] = None):
         """Pre-compile every bucket shape (the analog of vox_metal warm-up;
-        avoids first-token compile stalls)."""
+        avoids first-token compile stalls).  With `interval_s`, also
+        precompiles the exact-size fused-encode and decode-burst programs the
+        steady streaming state at that processing interval hits."""
         cfg = self.cfg
         t0 = time.monotonic()
         enc_cache = self.new_enc_cache()
@@ -227,14 +275,35 @@ class VoxtralEngine:
             dec_cache = out[-1]
         pf = jnp.zeros((self.prompt_len - 1, cfg.decoder.dim), jnp.float32)
         dec_cache = self.prefill(np.asarray(pf), dec_cache, 0)
+        fused_qs = list(self.fused_buckets)
+        burst_ts = []
+        if interval_s is not None:
+            # steady-state sizes at this processing interval: a feed carries
+            # ~interval*100 mel frames; the aligned chunk alternates between
+            # q0 and q0+8 as the <8-frame remainder accumulates
+            q0 = max(8, (int(interval_s * 100) // 8) * 8)
+            fused_qs += [
+                q for q in (q0, q0 + 8)
+                if q not in fused_qs
+                and cfg.encoder.window + q // 2 <= self.enc_kv_ring
+            ]
+            burst_ts = sorted({q0 // 8, q0 // 8 + 1})
         if self.fused_streaming:
             from ..models.fused_stream import ConvTails
 
             tails = ConvTails.create(cfg)
-            for q in self.fused_buckets:
+            for q in fused_qs:
                 if progress:
                     progress(f"warmup fused {q} (+{time.monotonic() - t0:.0f}s)")
                 mel = jnp.zeros((q, cfg.encoder.n_mel), jnp.float32)
                 _, tails, enc_cache = self.fused_encode(mel, tails, enc_cache, 0)
+        for t in burst_ts:
+            if t in self.buckets:
+                continue
+            if progress:
+                progress(f"warmup burst {t} (+{time.monotonic() - t0:.0f}s)")
+            chunk = jnp.zeros((t, cfg.decoder.dim), jnp.float32)
+            out = self.decode_burst(chunk, TOKEN_BOS, dec_cache, 0, n_alt=n_alt)
+            dec_cache = out[-1]
         jax.block_until_ready(dec_cache.k)
         return time.monotonic() - t0

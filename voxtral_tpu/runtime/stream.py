@@ -74,10 +74,15 @@ class VoxStream:
         self.enc_cache = engine.new_enc_cache()
         self.enc_pos = 0
 
-        # adapter buffer (host float32, logical offsets — voxtral.c:436-439)
-        self.adapter_buf = np.zeros((0, cfg.decoder.dim), np.float32)
-        self.total_adapter = 0
-        self.adapter_pos_offset = 0
+        # adapter row queue: DEVICE arrays awaiting the decoder.  The
+        # reference grows + compacts a host buffer (voxtral.c:436-439,
+        # 718-731); here rows stay in HBM and are popped on consumption — in
+        # the streaming steady state each fused-encode output chunk feeds
+        # exactly one decode burst, so no device ops and no host round-trips
+        # happen between encoder and decoder.
+        self.adapter_q: list = []
+        self.total_adapter = 0      # rows enqueued this decoder epoch
+        self.consumed_adapter = 0   # rows consumed by prefill/bursts
 
         # decoder state
         self.dec_cache = engine.new_dec_cache()
@@ -90,6 +95,7 @@ class VoxStream:
         self.text_since_restart = False
         self.empty_restarts = 0
         self.waiting_prompt = False
+        self._ring_overflow = False
         self.last_decode_sample = 0
         self.finished = False
         self.continuous = False
@@ -128,8 +134,8 @@ class VoxStream:
     def _reset_decoder_state(self):
         self.dec_pos = 0
         self.total_adapter = 0
-        self.adapter_pos_offset = 0
-        self.adapter_buf = self.adapter_buf[:0]
+        self.consumed_adapter = 0
+        self.adapter_q = []
         self.gen_pos = 0
         self.decoder_started = False
         self.prev_token = TOKEN_STREAMING_PAD
@@ -137,6 +143,7 @@ class VoxStream:
         self.nontext_streak = 0
         self.text_since_restart = False
         self.waiting_prompt = False
+        self._ring_overflow = False
 
     def _reset_full_state(self):
         cfg = self.cfg
@@ -201,34 +208,24 @@ class VoxStream:
 
             q_total = (new_mel // 8) * 8
             i = 0
-            new_rows = []
             tails = ConvTails(self._c0_tail, self._c1_tail)
-            for q in decompose(q_total, eng.fused_buckets):
+            for q in eng.fused_sizes(q_total):
                 rows, tails, self.enc_cache = eng.fused_encode(
                     mel[i : i + q], tails, self.enc_cache, self.enc_pos
                 )
                 self.enc_pos += q // 2
-                new_rows.append(np.asarray(rows, dtype=np.float32))
+                # rows stay on device (the decode burst casts them itself);
+                # no block_until_ready — the burst dispatch pipelines behind
+                # the encode (encoder_ms is dispatch time, not device time)
+                self.adapter_q.append(rows)
+                self.total_adapter += rows.shape[0]
                 i += q
             self._c0_tail, self._c1_tail = tails.mel_tail, tails.c0_tail
             self._conv_init = True
-            if new_rows:
-                chunk = np.concatenate(new_rows, axis=0)
-                self.adapter_buf = np.concatenate(
-                    [self.adapter_buf, chunk], axis=0
-                )
-                self.total_adapter += len(chunk)
             self.mel_cursor += q_total
             rem = new_mel - q_total
-            if rem > 0 and not self.finished:
-                # leave the unaligned tail for the next feed
-                jax.block_until_ready(self.enc_cache.k)
-                self.encoder_ms += (time.monotonic() - t0) * 1000.0
-                _mon("▶")
-                self.mel_ctx.discard_before(self.mel_cursor)
-                return
-            if rem == 0:
-                jax.block_until_ready(self.enc_cache.k)
+            if rem == 0 or not self.finished:
+                # any unaligned tail (< 8 frames) waits for the next feed
                 self.encoder_ms += (time.monotonic() - t0) * 1000.0
                 _mon("▶")
                 self.mel_ctx.discard_before(self.mel_cursor)
@@ -262,16 +259,12 @@ class VoxStream:
         # voxtral.c:823-890)
         avail_e = sum(a.shape[0] for a in self._enc_backlog)
         groups = avail_e // 4
-        new_rows = []
         for g in decompose(groups, eng.buckets):
             x = jnp.asarray(self._take_rows(self._enc_backlog, 4 * g))
-            new_rows.append(np.asarray(eng.adapter(x), dtype=np.float32))
-        if new_rows:
-            chunk = np.concatenate(new_rows, axis=0)
-            self.adapter_buf = np.concatenate([self.adapter_buf, chunk], axis=0)
-            self.total_adapter += len(chunk)
+            rows = eng.adapter(x)
+            self.adapter_q.append(rows)
+            self.total_adapter += rows.shape[0]
 
-        jax.block_until_ready(self.enc_cache.k)
         self.encoder_ms += (time.monotonic() - t0) * 1000.0
         _mon("▶")  # ▶ encoder chunk
         if verbose >= 2:
@@ -334,12 +327,32 @@ class VoxStream:
                 return True
         return False
 
+    def _take_adapter(self, n: int):
+        """Pop n device rows from the adapter queue.  In the streaming
+        steady state the head chunk size equals n (one fused-encode output
+        per burst), so no device ops are dispatched at all."""
+        q = self.adapter_q
+        taken, got = [], 0
+        while got < n:
+            head = q[0]
+            need = n - got
+            if head.shape[0] <= need:
+                taken.append(head)
+                got += head.shape[0]
+                q.pop(0)
+            else:
+                taken.append(jax.lax.slice_in_dim(head, 0, need, axis=0))
+                q[0] = jax.lax.slice_in_dim(head, need, head.shape[0], axis=0)
+                got = n
+        self.consumed_adapter += n
+        return taken[0] if len(taken) == 1 else jnp.concatenate(taken, axis=0)
+
     def _run_decoder(self):
         eng = self.engine
         prompt_len = eng.prompt_len
         n_alt = self.n_alt if self.n_alt > 1 else 0
 
-        cur_adapter = self.total_adapter - self.adapter_pos_offset
+        cur_adapter = self.total_adapter - self.consumed_adapter
         if not self.decoder_started:
             if cur_adapter < prompt_len:
                 if not self.waiting_prompt:
@@ -348,12 +361,13 @@ class VoxStream:
                 return
             self.waiting_prompt = False
             t0 = time.monotonic()
-            # adapter_pos_offset is always 0 before the decoder starts
-            rows = eng.prompt_embeds(self.adapter_buf[:prompt_len])
-            self.dec_cache = eng.prefill(rows[: prompt_len - 1], self.dec_cache, 0)
+            # rows 0..prompt_len-2 feed the prefill; row prompt_len-1 stays
+            # queued as the first burst's adapter row (voxtral.c:969-1062)
+            rows = eng.prompt_embeds(self._take_adapter(prompt_len - 1))
+            self.dec_cache = eng.prefill(rows, self.dec_cache, 0)
             jax.block_until_ready(self.dec_cache.k)  # attribute time correctly
             self.dec_pos = prompt_len - 1
-            self.gen_pos = self.adapter_pos_offset + (prompt_len - 1)
+            self.gen_pos = prompt_len - 1
             self.prev_token = TOKEN_STREAMING_PAD
             self.decoder_started = True
             pf_ms = (time.monotonic() - t0) * 1000.0
@@ -366,13 +380,21 @@ class VoxStream:
             gen_before = self.n_generated
             text_before = self.n_text_tokens
             nontext_before = self.nontext_streak
-            while self.gen_pos < self.total_adapter and not self.eos_seen:
-                avail = self.total_adapter - self.gen_pos
-                b = next(x for x in eng.buckets if x <= avail)
+            while self.consumed_adapter < self.total_adapter and not self.eos_seen:
+                avail = self.total_adapter - self.consumed_adapter
+                b = eng.burst_size(avail)
                 if (
                     eng.dec_kv_ring < self.cfg.decoder.window
                     and self.dec_pos + b > eng.dec_kv_ring
                 ):
+                    if self.continuous:
+                        # Stop the burst BEFORE the write would cross the
+                        # ring cap; _maybe_restart below performs the
+                        # KV-overflow full reset (voxtral.c:1146-1148).  A
+                        # large backlog (e.g. -I 5) can otherwise cross the
+                        # cap mid-burst between restart checks.
+                        self._ring_overflow = True
+                        break
                     raise RuntimeError(
                         f"decoder KV ring ({eng.dec_kv_ring}) smaller than the "
                         f"attention window would lose context at position "
@@ -380,19 +402,20 @@ class VoxStream:
                         f"enable continuous mode (which restarts at "
                         f"{STREAM_MAX_DECODE_KV})"
                     )
-                phys = self.gen_pos - self.adapter_pos_offset
-                chunk = self.adapter_buf[phys : phys + b]
+                chunk = self._take_adapter(b)
                 tokens, alt_ids, alt_probs, best_probs, self.dec_cache = (
                     eng.decode_burst(
                         chunk, self.prev_token, self.dec_cache, self.dec_pos,
                         n_alt=n_alt,
                     )
                 )
-                tokens = np.asarray(tokens)
                 if n_alt:
-                    alt_ids = np.asarray(alt_ids)
-                    alt_probs = np.asarray(alt_probs)
-                    best_probs = np.asarray(best_probs)
+                    # one host transfer for all four result arrays
+                    tokens, alt_ids, alt_probs, best_probs = jax.device_get(
+                        (tokens, alt_ids, alt_probs, best_probs)
+                    )
+                else:
+                    tokens = np.asarray(tokens)
                 self._process_tokens(tokens, alt_ids, alt_probs, best_probs)
             if self.n_generated > gen_before:
                 dec_ms = (time.monotonic() - t0) * 1000.0
@@ -418,15 +441,9 @@ class VoxStream:
                             sev = "⚠"  # ⚠
                     _mon(sym + sev)
 
-        self._adapter_compact()
+        # adapter compaction (voxtral.c:718-731) is implicit: _take_adapter
+        # pops consumed rows from the queue
         self._maybe_restart()
-
-    def _adapter_compact(self):
-        consumed = self.gen_pos - self.adapter_pos_offset
-        if consumed <= 0:
-            return
-        self.adapter_buf = self.adapter_buf[consumed:]
-        self.adapter_pos_offset += consumed
 
     def _maybe_restart(self):
         """Continuous-mode self-healing (voxtral.c:1137-1187)."""
@@ -435,7 +452,9 @@ class VoxStream:
         need = 0
         if self.eos_seen:
             need = 1
-        elif self.decoder_started and self.dec_pos > STREAM_MAX_DECODE_KV:
+        elif self.decoder_started and (
+            self.dec_pos > STREAM_MAX_DECODE_KV or self._ring_overflow
+        ):
             need = 2
         elif self.decoder_started and self.nontext_streak >= STREAM_MAX_NON_TEXT_STREAK:
             need = 3
