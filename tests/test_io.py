@@ -124,6 +124,40 @@ def test_load_params_layout(tmp_path):
     assert params["decoder"]["tok_embeddings"].shape == (d.vocab_size, d.dim)
 
 
+def test_loader_agrees_with_independent_oracle_mapping(tmp_path):
+    """models/params.py and tools/fidelity_check.py map the checkpoint to
+    the engine tree with two independently written readers; they must agree
+    exactly (a bug in either shows up as a mismatch)."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools")
+    )
+    import jax
+    from fidelity_check import oracle_tree_from_checkpoint
+
+    from voxtral_tpu.models.params import load_params
+
+    cfg = tiny_config(compute_dtype="float32").replace(param_dtype="float32")
+    rng = np.random.default_rng(1)
+    tensors = _torch_layout_checkpoint(cfg, rng)
+    write_safetensors(str(tmp_path / "consolidated.safetensors"), tensors)
+
+    a = load_params(str(tmp_path), cfg)
+    b = oracle_tree_from_checkpoint(
+        str(tmp_path), n_enc=cfg.encoder.n_layers, n_dec=cfg.decoder.n_layers
+    )
+    flat_a = jax.tree.leaves_with_path(a)
+    flat_b = dict(jax.tree.leaves_with_path(b))
+    assert len(flat_a) == len(flat_b)
+    for path, leaf in flat_a:
+        np.testing.assert_allclose(
+            np.asarray(leaf, dtype=np.float32), flat_b[path],
+            atol=1e-6, err_msg=str(path),
+        )
+
+
 def test_wav_roundtrip(tmp_path):
     path = str(tmp_path / "t.wav")
     samples = (np.sin(np.arange(8000) * 0.01) * 0.5).astype(np.float32)

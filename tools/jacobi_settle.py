@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Measure the Jacobi decode settle rate (tokens settled per iteration).
+
+Jacobi burst decoding (models/jacobi.py) costs one weight pass per
+ITERATION instead of per token; its speedup over sequential decode is
+exactly the average number of tokens that settle per iteration.  That rate
+is a property of the WEIGHTS (how predictable the next token is), so with
+no real checkpoint in this environment we bracket it:
+
+  adversarial — random bf16 weights (the synthetic-checkpoint regime):
+      logits are chaotic functions of the guessed prefix, so each iteration
+      settles ~1 token and Jacobi degenerates to sequential cost plus
+      fixpoint overhead.  This is the LOWER bound.
+  favorable  — token-independent logits (tok_embeddings zeroed, so position
+      t's argmax does not depend on the guessed token at t-1): every token
+      settles in the first pass, the second pass only verifies.  This is
+      the UPPER bound (W/2 tokens per iteration for window W).
+
+Real speech weights sit between the bounds (transcription is highly
+predictable given audio, but not token-independent).  Usage:
+
+    python tools/jacobi_settle.py [n_tokens] [window]
+
+Prints one line per regime: iterations, tokens/iter, ms/token vs the
+sequential path on the same hardware.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+
+
+def log(msg):
+    print(f"[jacobi] {msg}", file=sys.stderr, flush=True)
+
+
+def main():
+    n_tokens = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    window = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+
+    import jax
+    import jax.numpy as jnp
+
+    from voxtral_tpu.config import full_config
+    from voxtral_tpu.models.jacobi import decode_burst_jacobi
+    from voxtral_tpu.models.params import init_params
+    from voxtral_tpu.runtime.engine import VoxtralEngine
+
+    cfg = full_config()
+    log(f"device: {jax.devices()[0]}")
+    log("building random bf16 params")
+    params = init_params(cfg, seed=3)
+
+    engine = VoxtralEngine(
+        cfg, params, buckets=(n_tokens,), dec_kv_ring=2048,
+        decode_mode="jacobi", jacobi_window=window, fused_streaming=False,
+    )
+    rng = np.random.default_rng(11)
+    adapter = rng.standard_normal((n_tokens, cfg.decoder.dim)).astype(
+        np.float32
+    ) * 0.05
+
+    def run(label, dparams):
+        cache = engine.new_dec_cache()
+        args = (dparams, cfg, jnp.asarray(adapter), jnp.int32(32), cache,
+                jnp.int32(0), engine.ada())
+        # warm (compile)
+        out = decode_burst_jacobi(*args, window=window)
+        np.asarray(out[0])
+        # timed
+        cache = engine.new_dec_cache()
+        t0 = time.monotonic()
+        toks, _, _, _, _, iters = decode_burst_jacobi(
+            dparams, cfg, jnp.asarray(adapter), jnp.int32(32), cache,
+            jnp.int32(0), engine.ada(), window=window,
+        )
+        toks = np.asarray(toks)          # D2H sync (CLAUDE.md timing rule)
+        dt = time.monotonic() - t0
+        it = int(iters)
+        print(
+            f"{label}: {n_tokens} tokens, window {window}: {it} iterations "
+            f"-> {n_tokens / it:.2f} tokens/iter, "
+            f"{1000 * dt / n_tokens:.2f} ms/token"
+        )
+        return toks
+
+    t_adv = run("adversarial(random)", params["decoder"])
+
+    # favorable bound: token-independent logits (zeroed tok_embeddings)
+    fav = dict(params["decoder"])
+    fav["tok_embeddings"] = jnp.zeros_like(fav["tok_embeddings"])
+    run("favorable(token-independent)", fav)
+
+    # sequential reference on the same adapter rows (exactness + ms/token)
+    eng_seq = VoxtralEngine(
+        cfg, params, buckets=(n_tokens,), dec_kv_ring=2048,
+        fused_streaming=False,
+    )
+    cache = eng_seq.new_dec_cache()
+    out = eng_seq.decode_burst(adapter, 32, cache, 0)
+    np.asarray(out[0])
+    cache = eng_seq.new_dec_cache()
+    t0 = time.monotonic()
+    toks_seq, _, _, _, _ = eng_seq.decode_burst(adapter, 32, cache, 0)
+    toks_seq = np.asarray(toks_seq)
+    dt = time.monotonic() - t0
+    print(f"sequential: {1000 * dt / n_tokens:.2f} ms/token")
+    exact = bool((t_adv == toks_seq).all())
+    print(f"jacobi==sequential: {exact}")
+    return 0 if exact else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
