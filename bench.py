@@ -41,7 +41,9 @@ def _supervised() -> int:
     The remote-TPU tunnel in some environments occasionally drops an RPC and
     wedges the client forever; the child prints progress lines, and a parent
     that sees no output for BENCH_STALL_S seconds kills and retries."""
-    stall = float(os.environ.get("BENCH_STALL_S", "420"))
+    # must exceed the longest single remote compile (the batched fused
+    # encoder has taken ~7 min on a slow tunnel day)
+    stall = float(os.environ.get("BENCH_STALL_S", "900"))
     attempts = int(os.environ.get("BENCH_ATTEMPTS", "5"))
     env = dict(os.environ, BENCH_INNER="1")
     for a in range(1, attempts + 1):
@@ -88,31 +90,57 @@ def _supervised() -> int:
     return 1
 
 
-def _encode_clip(engine, mel: np.ndarray, enc_cache, progress=None):
-    """Single-stream encode of a full padded mel -> device adapter rows via
-    the fused conv+encoder+adapter program (one dispatch per chunk).
-    Reuses `enc_cache` across streams (epoch reset via positions is free)."""
+def _encode_clips_batched(engine, mel: np.ndarray, enc_batch: int,
+                          enc_cache, progress=None):
+    """Encode `enc_batch` identical-length streams per fused dispatch (vmap
+    over the one-program conv+encoder+adapter).  The encoder is compute-
+    bound, so batching amortizes dispatch overhead and fills the MXU; the
+    batched MHA-32 ring cache is the memory constraint (CLAUDE.md), so
+    enc_batch stays small and the cache is reused across groups (epoch reset
+    via positions is free).  mel: [T, 128] shared content per stream.
+    Returns [enc_batch, n_audio, dim] f32 adapter rows + the cache."""
+    import jax
     import jax.numpy as jnp
 
-    from voxtral_tpu.models.fused_stream import ConvTails
-    from voxtral_tpu.runtime.engine import decompose
+    from voxtral_tpu.models.fused_stream import ConvTails, fused_encode_chunk
 
     cfg = engine.cfg
-    tails = ConvTails.create(cfg)
+    tails = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (enc_batch,) + x.shape),
+        ConvTails.create(cfg),
+    )
     rows_out = []
     q_total = (mel.shape[0] // 8) * 8  # the <8-frame tail holds no full token
     i = 0
     enc_pos = 0
-    for q in decompose(q_total, engine.fused_buckets):
-        rows, tails, enc_cache = engine.fused_encode(
-            jnp.asarray(mel[i : i + q]), tails, enc_cache, enc_pos
+    # one jitted callable per engine (a fresh lambda every call would retrace)
+    cache_key = ("bfused", enc_batch)
+    memo = getattr(engine, "_bench_fns", None)
+    if memo is None:
+        memo = engine._bench_fns = {}
+    fn = memo.get(cache_key)
+    if fn is None:
+        fn = jax.jit(
+            jax.vmap(
+                lambda m, t, c, p: fused_encode_chunk(
+                    engine.params["encoder"], engine.params["adapter"],
+                    cfg, m, t, c, p,
+                ),
+                in_axes=(None, 0, 0, None),
+            ),
+            donate_argnums=(2,),
+        )
+        memo[cache_key] = fn
+    for q in engine.fused_sizes(q_total):
+        rows, tails, enc_cache = fn(
+            jnp.asarray(mel[i : i + q]), tails, enc_cache, jnp.int32(enc_pos)
         )
         enc_pos += q // 2
         rows_out.append(rows)
         i += q
         if progress:
             progress(f"enc {enc_pos}/{q_total // 2}")
-    out = jnp.concatenate(rows_out, axis=0)
+    out = jnp.concatenate(rows_out, axis=1)      # [enc_batch, n_audio, dim]
     return out.astype(jnp.float32), enc_cache
 
 
@@ -184,22 +212,27 @@ def main():
     def log(msg):
         print(f"  {msg}", file=sys.stderr, flush=True)
 
+    enc_batch = max(1, int(os.environ.get("BENCH_ENC_BATCH", "4")))
+    enc_batch = min(enc_batch, n_streams)
+
     def run_once(label):
         """Full two-phase pipeline over all streams; returns wall + stats."""
         t_start = time.monotonic()
-        # Phase E: sequential encode, one shared ring cache
-        enc_cache = engine.new_enc_cache()
+        # Phase E: encode enc_batch streams per dispatch, one shared batched
+        # ring cache across groups (epoch resets are free — ring masking)
+        enc_cache = sv.batched_enc_cache(cfg, enc_batch, engine.enc_kv_ring)
         adapter_rows = []
-        for s in range(n_streams):
-            rows, enc_cache = _encode_clip(
-                engine, mel_one, enc_cache,
-                progress=(lambda m, s=s: log(f"{label} stream {s} {m}"))
-                if s == 0 else None,
+        for g in range(0, n_streams, enc_batch):
+            rows, enc_cache = _encode_clips_batched(
+                engine, mel_one, enc_batch, enc_cache,
+                progress=(lambda m: log(f"{label} group0 {m}"))
+                if g == 0 else None,
             )
             adapter_rows.append(rows)
-            log(f"{label} encoded stream {s + 1}/{n_streams}")
-        adapter = jnp.stack(adapter_rows)          # [B, n_audio, dim]
-        jax.block_until_ready(adapter)
+            log(f"{label} encoded streams {min(g + enc_batch, n_streams)}"
+                f"/{n_streams}")
+        adapter = jnp.concatenate(adapter_rows, axis=0)[:n_streams]
+        jax.block_until_ready(adapter)             # [B, n_audio, dim]
         t_enc = time.monotonic()
         del enc_cache, adapter_rows
 
