@@ -16,6 +16,7 @@ def test_quantized_decode_runs_and_tracks(engine, cfg, params):
     qparams = quantize_params(params)
     assert qparams["decoder"]["layers"]["wqkv"].dtype == jnp.int8
     assert "wqkv_scale" in qparams["decoder"]["layers"]
+    assert qparams["decoder"]["tok_embeddings"].dtype == jnp.int8
 
     cache = engine.new_dec_cache()
     toks_f, _, _, _, _ = dec_mod.decode_burst(
@@ -31,6 +32,28 @@ def test_quantized_decode_runs_and_tracks(engine, cfg, params):
     # random tiny weights are the worst case for quantization-flip chaos;
     # require the sequences to broadly track (real checkpoints agree far more)
     assert agree >= 0.5, agree
+
+
+def test_quantized_embeddings_and_logits_close(cfg, params):
+    """Per-row int8 embedding table: lookups and the tied-logits matmul must
+    stay within quantization rounding of the bf16 path."""
+    from voxtral_tpu.models.quant import embed_rows
+
+    qd = quantize_params(params)["decoder"]
+    d = params["decoder"]
+
+    ids = jnp.asarray([1, 2, 32, 7], jnp.int32)
+    r_q = np.asarray(embed_rows(qd, ids))
+    r_f = np.asarray(embed_rows(d, ids))
+    scale = np.abs(r_f).max() + 1e-9
+    assert np.abs(r_q - r_f).max() / scale < 0.02
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((3, cfg.decoder.dim)), jnp.float32)
+    lg_q = np.asarray(dec_mod.final_logits(qd, cfg, x))
+    lg_f = np.asarray(dec_mod.final_logits(d, cfg, x))
+    rel = np.abs(lg_q - lg_f).max() / (np.abs(lg_f).max() + 1e-9)
+    assert rel < 0.05, rel
 
 
 def test_engine_quantize_kwarg_end_to_end(cfg, params, tiny_tokenizer):

@@ -207,6 +207,16 @@ def final_logits(params: PyTree, cfg: VoxtralConfig, x: jax.Array) -> jax.Array:
     materialize 1.6 GB every step.  x: [T, dim] -> [T, vocab] f32."""
     emb = params["tok_embeddings"]
     xn = rms_norm(x, params["final_norm"], cfg.decoder.norm_eps)
+    if emb.dtype == jnp.int8:
+        # int8 table (quant.quantize_params embeddings=True): widen in the
+        # matmul operand stream, rescale per vocab row — HBM reads stay 1B
+        y = jnp.einsum(
+            "td,vd->tv",
+            xn.astype(jnp.bfloat16),
+            emb.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+        return y * params["tok_embeddings_scale"][None, :]
     return jnp.einsum(
         "td,vd->tv",
         xn.astype(emb.dtype),
@@ -287,15 +297,13 @@ def decode_burst(
     a cache reset after EOS (voxtral.c:1049, 1137-1186).
     """
     d = cfg.decoder
-    tok_emb = params["tok_embeddings"]
     t_total = adapter_chunk.shape[0]
 
     def step(carry, xs):
         prev, k_all, v_all = carry
         a_row, pos = xs
         embed = (
-            a_row.astype(jnp.float32)
-            + tok_emb[prev].astype(jnp.float32)
+            a_row.astype(jnp.float32) + quant.embed_rows(params, prev)
         )[None, :]
         x, cache2 = decoder_forward(
             params, cfg, embed, KVCache(k_all, v_all), pos, ada

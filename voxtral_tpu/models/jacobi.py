@@ -33,6 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import VoxtralConfig
+from . import quant
 from .decoder import KVCache, _alts_from_logits, decoder_forward, final_logits
 
 PyTree = Any
@@ -46,12 +47,11 @@ def _jacobi_window(params, cfg: VoxtralConfig, adapter_win, prev_token,
     cache, n_iters).
     """
     w = adapter_win.shape[0]
-    tok_emb = params["tok_embeddings"]
     a32 = adapter_win.astype(jnp.float32)
 
     def forward(guesses, k, v):
         prev = jnp.concatenate([prev_token[None], guesses[:-1]])
-        embeds = a32 + tok_emb[prev].astype(jnp.float32)
+        embeds = a32 + quant.embed_rows(params, prev)
         x, cache2 = decoder_forward(
             params, cfg, embeds, KVCache(k, v), pos0, ada
         )

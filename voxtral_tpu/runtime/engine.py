@@ -122,9 +122,11 @@ class VoxtralEngine:
 
         # device-resident (a D2H fetch of parameter rows can stall remote
         # tunnels; nothing on the host needs these values)
-        emb = params["decoder"]["tok_embeddings"]
-        self.embed_bos = emb[TOKEN_BOS].astype(jnp.float32)
-        self.embed_pad = emb[TOKEN_STREAMING_PAD].astype(jnp.float32)
+        from ..models.quant import embed_rows
+
+        dparams = params["decoder"]
+        self.embed_bos = embed_rows(dparams, jnp.int32(TOKEN_BOS))
+        self.embed_pad = embed_rows(dparams, jnp.int32(TOKEN_STREAMING_PAD))
 
     # -- config ------------------------------------------------------------
     @property
