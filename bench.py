@@ -90,6 +90,33 @@ def _supervised() -> int:
     return 1
 
 
+def _encode_clip(engine, mel: np.ndarray, enc_cache, progress=None):
+    """Single-stream encode of a full padded mel -> device adapter rows via
+    the fused conv+encoder+adapter program (one dispatch per chunk).
+    Reuses `enc_cache` across streams (epoch reset via positions is free)."""
+    import jax.numpy as jnp
+
+    from voxtral_tpu.models.fused_stream import ConvTails
+
+    cfg = engine.cfg
+    tails = ConvTails.create(cfg)
+    rows_out = []
+    q_total = (mel.shape[0] // 8) * 8  # the <8-frame tail holds no full token
+    i = 0
+    enc_pos = 0
+    for q in engine.fused_sizes(q_total):
+        rows, tails, enc_cache = engine.fused_encode(
+            jnp.asarray(mel[i : i + q]), tails, enc_cache, enc_pos
+        )
+        enc_pos += q // 2
+        rows_out.append(rows)
+        i += q
+        if progress:
+            progress(f"enc {enc_pos}/{q_total // 2}")
+    out = jnp.concatenate(rows_out, axis=0)
+    return out.astype(jnp.float32), enc_cache
+
+
 def _encode_clips_batched(engine, mel: np.ndarray, enc_batch: int,
                           enc_cache, progress=None):
     """Encode `enc_batch` identical-length streams per fused dispatch (vmap
@@ -212,26 +239,43 @@ def main():
     def log(msg):
         print(f"  {msg}", file=sys.stderr, flush=True)
 
-    enc_batch = max(1, int(os.environ.get("BENCH_ENC_BATCH", "4")))
+    # BENCH_ENC_BATCH > 1 vmaps the fused encoder over k streams per
+    # dispatch.  Opt-in: the batched-encode program has wedged the remote
+    # compiler (>900 s, repeatably) on this tunnel, and the sequential
+    # encode is only ~1.7 s of a ~14 s run — reliability wins for the
+    # driver's unattended runs.
+    enc_batch = max(1, int(os.environ.get("BENCH_ENC_BATCH", "1")))
     enc_batch = min(enc_batch, n_streams)
 
     def run_once(label):
         """Full two-phase pipeline over all streams; returns wall + stats."""
         t_start = time.monotonic()
-        # Phase E: encode enc_batch streams per dispatch, one shared batched
-        # ring cache across groups (epoch resets are free — ring masking)
-        enc_cache = sv.batched_enc_cache(cfg, enc_batch, engine.enc_kv_ring)
-        adapter_rows = []
-        for g in range(0, n_streams, enc_batch):
-            rows, enc_cache = _encode_clips_batched(
-                engine, mel_one, enc_batch, enc_cache,
-                progress=(lambda m: log(f"{label} group0 {m}"))
-                if g == 0 else None,
-            )
-            adapter_rows.append(rows)
-            log(f"{label} encoded streams {min(g + enc_batch, n_streams)}"
-                f"/{n_streams}")
-        adapter = jnp.concatenate(adapter_rows, axis=0)[:n_streams]
+        # Phase E: encode with one shared ring cache (epoch resets are free)
+        if enc_batch > 1:
+            enc_cache = sv.batched_enc_cache(cfg, enc_batch, engine.enc_kv_ring)
+            adapter_rows = []
+            for g in range(0, n_streams, enc_batch):
+                rows, enc_cache = _encode_clips_batched(
+                    engine, mel_one, enc_batch, enc_cache,
+                    progress=(lambda m: log(f"{label} group0 {m}"))
+                    if g == 0 else None,
+                )
+                adapter_rows.append(rows)
+                log(f"{label} encoded streams {min(g + enc_batch, n_streams)}"
+                    f"/{n_streams}")
+            adapter = jnp.concatenate(adapter_rows, axis=0)[:n_streams]
+        else:
+            enc_cache = engine.new_enc_cache()
+            adapter_rows = []
+            for s in range(n_streams):
+                rows, enc_cache = _encode_clip(
+                    engine, mel_one, enc_cache,
+                    progress=(lambda m, s=s: log(f"{label} stream {s} {m}"))
+                    if s == 0 else None,
+                )
+                adapter_rows.append(rows)
+                log(f"{label} encoded stream {s + 1}/{n_streams}")
+            adapter = jnp.stack(adapter_rows)
         jax.block_until_ready(adapter)             # [B, n_audio, dim]
         t_enc = time.monotonic()
         del enc_cache, adapter_rows
