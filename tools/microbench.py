@@ -85,6 +85,12 @@ def main():
         cfg_flash = cfg.replace(
             decoder=dataclasses.replace(cfg.decoder, attn_impl="flash")
         )
+        dparams = eng.params["decoder"]
+        if os.environ.get("MB_INT8"):  # int8 layers + embedding table
+            from voxtral_tpu.models.quant import quantize_params
+
+            dparams = quantize_params(eng.params, encoder=False)["decoder"]
+            jax.block_until_ready(dparams)
         variants = (
             ("xla", cfg),
             ("flash", cfg_flash),
@@ -94,7 +100,7 @@ def main():
 
             def step(c=c):
                 toks, _, _, _, state["cache"] = sv.bdecode_burst(
-                    eng.params["decoder"], c, chunk, prev, state["cache"],
+                    dparams, c, chunk, prev, state["cache"],
                     pos, ada,
                 )
                 return toks

@@ -62,8 +62,9 @@ def main(argv=None):
     p.add_argument("--profile", metavar="DIR", default=None,
                    help="write a jax.profiler trace of the run to DIR")
     p.add_argument("--jacobi", action="store_true",
-                   help="Jacobi fixpoint burst decoding (exact greedy, "
-                        "usually much faster single-stream)")
+                   help="Jacobi fixpoint burst decoding: measured 1.3-15x "
+                        "faster single-stream (docs/PERF.md); greedy-exact "
+                        "up to rare bf16 near-tie argmax flips")
     p.add_argument("--int8", action="store_true",
                    help="int8 weight-only decoder quantization: ~2x decode "
                         "throughput, but transcripts may differ from bf16 on "
