@@ -83,7 +83,7 @@ def _supervised() -> int:
               flush=True)
         time.sleep(60)
     print(json.dumps({
-        "metric": "aggregate_x_realtime_per_chip_60s_16streams",
+        "metric": "aggregate_x_realtime_per_chip",
         "value": -1, "unit": "x_realtime", "vs_baseline": -1,
         "extra": {"error": "all attempts stalled (TPU tunnel)"},
     }))
@@ -140,7 +140,11 @@ def _encode_clips_batched(engine, mel: np.ndarray, enc_batch: int,
     q_total = (mel.shape[0] // 8) * 8  # the <8-frame tail holds no full token
     i = 0
     enc_pos = 0
-    # one jitted callable per engine (a fresh lambda every call would retrace)
+    # one jitted callable per engine (a fresh lambda every call would retrace).
+    # Params MUST be explicit arguments: closing over the 1.2 GB encoder
+    # weights embeds them as HLO constants and the TPU compiler's constant
+    # folding wedges for >15 min on the vmapped program (the round-2
+    # "batched-encode wedge"; explicit-arg AOT compile takes ~3 s).
     cache_key = ("bfused", enc_batch)
     memo = getattr(engine, "_bench_fns", None)
     if memo is None:
@@ -149,17 +153,17 @@ def _encode_clips_batched(engine, mel: np.ndarray, enc_batch: int,
     if fn is None:
         fn = jax.jit(
             jax.vmap(
-                lambda m, t, c, p: fused_encode_chunk(
-                    engine.params["encoder"], engine.params["adapter"],
-                    cfg, m, t, c, p,
+                lambda ep, ap, m, t, c, p: fused_encode_chunk(
+                    ep, ap, cfg, m, t, c, p,
                 ),
-                in_axes=(None, 0, 0, None),
+                in_axes=(None, None, None, 0, 0, None),
             ),
-            donate_argnums=(2,),
+            donate_argnums=(4,),
         )
         memo[cache_key] = fn
     for q in engine.fused_sizes(q_total):
         rows, tails, enc_cache = fn(
+            engine.params["encoder"], engine.params["adapter"],
             jnp.asarray(mel[i : i + q]), tails, enc_cache, jnp.int32(enc_pos)
         )
         enc_pos += q // 2
@@ -172,7 +176,11 @@ def _encode_clips_batched(engine, mel: np.ndarray, enc_batch: int,
 
 
 def main():
-    n_streams = int(os.environ.get("BENCH_STREAMS", "16"))
+    # 32 streams is the measured bf16 sweet spot on a 16 GB v5e: decode is
+    # weight-read-bound, so doubling the batch nearly doubles aggregate
+    # throughput (15.5 ms/step at B=32 vs 12.7 at B=16); B=48 OOMs with the
+    # ring-1024 caches (B x 109 MB) next to the 8.9 GB weights.
+    n_streams = int(os.environ.get("BENCH_STREAMS", "32"))
     seconds = float(os.environ.get("BENCH_SECONDS", "60"))
     burst = int(os.environ.get("BENCH_BURST", "64"))
 
@@ -198,6 +206,9 @@ def main():
     cfg = full_config()
     # big encode buckets cut per-call dispatch overhead (matters on remote
     # tunnels); enc ring must cover window 750 + the largest bucket
+    # enc ring 1280 enables the 1024-frame fused-encode bucket (474x vs 326x
+    # realtime at 512 — fewer O(cap) ring rotates per clip); bigger chunks
+    # need a bigger ring, whose attention reads then dominate (227x at 2048)
     eng_kwargs = dict(buckets=(512, 256, 64, 16, 4, 1), enc_kv_ring=1280,
                       dec_kv_ring=1024)
 
@@ -328,21 +339,25 @@ def main():
     # --- int8 weight-only variant: step time only (transcripts differ at
     # near-ties, so it is reported as an extra, not the headline) -----------
     int8_step_ms = -1.0
+    # the int8 weight copy (3.4 GB) lives NEXT TO the bf16 weights, so this
+    # extra runs at <=16 streams regardless of the headline batch — at B=32
+    # the combined footprint (8.9 bf16 + 3.4 int8 + 3.5 rings GB) OOMs
+    n_int8 = min(n_streams, 16)
     if os.environ.get("BENCH_INT8", "1") != "0":
         from voxtral_tpu.models.quant import quantize_layer_stack
 
         qdec = dict(params["decoder"])
         qdec["layers"] = quantize_layer_stack(qdec["layers"])
         jax.block_until_ready(qdec["layers"]["wqkv"])
-        dec_cache = sv.batched_dec_cache(cfg, n_streams, engine.dec_kv_ring)
-        chunk = jnp.zeros((n_streams, 64, cfg.decoder.dim), jnp.float32)
-        prev8 = jnp.full((n_streams,), 32, jnp.int32)
+        dec_cache = sv.batched_dec_cache(cfg, n_int8, engine.dec_kv_ring)
+        chunk = jnp.zeros((n_int8, 64, cfg.decoder.dim), jnp.float32)
+        prev8 = jnp.full((n_int8,), 32, jnp.int32)
         state = {"c": dec_cache}
 
         def q_step():
             toks, _, _, _, state["c"] = sv.bdecode_burst(
                 qdec, cfg, chunk, prev8, state["c"],
-                jnp.full((n_streams,), 100, jnp.int32), engine.ada(),
+                jnp.full((n_int8,), 100, jnp.int32), engine.ada(),
             )
             return toks
 
@@ -352,7 +367,7 @@ def main():
             toks8 = q_step()
         _ = np.asarray(toks8)
         int8_step_ms = 1000.0 * (time.monotonic() - t0) / (4 * 64)
-        log(f"int8 step {int8_step_ms:.2f} ms")
+        log(f"int8 step {int8_step_ms:.2f} ms ({n_int8} streams)")
         del state, dec_cache, qdec
 
     # --- phase 2: single-stream p50 token latency at -I 0.5 ----------------
@@ -395,14 +410,15 @@ def main():
         "p50_token_latency_ms_I0.5": round(p50, 1),
         "p90_token_latency_ms_I0.5": round(p90, 1),
         "int8_decoder_step_ms_batched": round(int8_step_ms, 3),
+        "int8_streams": n_int8,
         "int8_aggregate_x_realtime_est": (
-            round(n_streams * 80.0 / int8_step_ms, 1) if int8_step_ms > 0 else -1
+            round(n_int8 * 80.0 / int8_step_ms, 1) if int8_step_ms > 0 else -1
         ),
         "device": str(dev),
         "weights": "real" if model_dir else "random",
     }
     print(json.dumps({
-        "metric": "aggregate_x_realtime_per_chip_60s_16streams",
+        "metric": f"aggregate_x_realtime_per_chip_60s_{n_streams}streams",
         "value": round(x_rt, 2),
         "unit": "x_realtime",
         "vs_baseline": round(x_rt / REF_X_REALTIME, 2),

@@ -187,14 +187,17 @@ def main():
     if which in ("logits", "all"):
         x = jnp.zeros((batch, cfg.decoder.dim), jnp.float32)
 
+        from voxtral_tpu.models.decoder import final_logits
+
         @jax.jit
-        def lg(x):
-            from voxtral_tpu.models.decoder import final_logits
+        def lg(dp, x):
+            # params explicit: closed-over weights become HLO constants and
+            # can wedge TPU constant folding (see docs/PERF.md)
             return jax.vmap(
-                lambda xi: final_logits(eng.params["decoder"], cfg, xi[None, :])
+                lambda xi: final_logits(dp, cfg, xi[None, :])
             )(x).argmax(-1)
 
-        t = timeit(lambda: lg(x))
+        t = timeit(lambda: lg(eng.params["decoder"], x))
         print(f"logits+argmax: {1000*t:.2f} ms ({batch} streams)")
 
 

@@ -64,6 +64,10 @@ def ring_write(ring: jax.Array, vals: jax.Array, pos0: jax.Array) -> jax.Array:
     # 0, update contiguously, rotate back.  Rotation by a dynamic amount is
     # expressed as concat + dynamic_slice (static shapes, no gather/scatter —
     # both of which compile pathologically on some TPU toolchains).
+    # Measured on chip: a lax.cond fast path for the non-wrapping case is
+    # SLOWER (34.1 vs 21.6 ms per 1024-frame encode chunk) — cond
+    # materializes the ring operand instead of fusing, costing more than the
+    # ~7% rotate traffic it saves.  Keep the unconditional rotate.
     start = jnp.mod(pos0, cap)
 
     rolled = rotate(ring, start)
