@@ -78,6 +78,11 @@ class EncoderConfig:
     # 750 + 512 with headroom; ring semantics replace the memmove compaction of
     # the reference (voxtral_encoder.c:388-406).
     kv_ring: int = 2048
+    # Bulk (T>1) attention implementation: "xla"/"auto" = ring_attention,
+    # "flash" = the Pallas online-softmax kernel (ops/flash_encode.py) —
+    # measured SLOWER at the full-size encoder shape, kept as an explicit
+    # option (the kernel's STATUS note and docs/PERF.md have the numbers).
+    attn_impl: str = "auto"
 
     @property
     def qkv_dim(self) -> int:

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 
 from ..config import DOWNSAMPLE_FACTOR, EncoderConfig, VoxtralConfig
 from . import quant
+from ..ops.flash_encode import flash_bulk_attention
 from ..ops.norms import gelu, rms_norm, silu
 from ..ops.ring import ring_attention, ring_write
 from ..ops.rope import apply_rope_interleaved, rope_cos_sin
@@ -129,10 +130,22 @@ def _enc_layer_step(cfg: EncoderConfig, cdtype, x, lp, k_all, v_all, li,
         k_all = jax.lax.dynamic_update_index_in_dim(k_all, k_ring, li, axis=0)
         v_all = jax.lax.dynamic_update_index_in_dim(v_all, v_ring, li, axis=0)
 
-    attn = ring_attention(
-        q.astype(cdtype), k_ring, v_ring, pos0,
-        window=cfg.window, out_dtype=cdtype,
-    ).reshape(t, qkv_dim)
+    use_flash = t > 1 and k_all.dtype.itemsize >= 2 and cfg.attn_impl == "flash"
+    # "auto" resolves to xla: the Pallas bulk kernel measured SLOWER at the
+    # full-size encoder shape (ops/flash_encode.py STATUS, docs/PERF.md)
+    if use_flash:
+        # online-softmax Pallas kernel: scores never reach HBM (the XLA
+        # path round-trips [KH, T, cap] f32 per layer).  k_ring here is a
+        # real buffer (ring_write's output), not a sliced-gather operand.
+        attn = flash_bulk_attention(
+            q.astype(cdtype), k_ring, v_ring, pos0,
+            window=cfg.window, out_dtype=cdtype,
+        ).reshape(t, qkv_dim)
+    else:
+        attn = ring_attention(
+            q.astype(cdtype), k_ring, v_ring, pos0,
+            window=cfg.window, out_dtype=cdtype,
+        ).reshape(t, qkv_dim)
 
     x = x + (quant.mm(attn, lp, "wo", cdtype) + lp["bo"]).astype(x.dtype)
 
