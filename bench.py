@@ -200,6 +200,18 @@ def main():
     from voxtral_tpu.runtime.engine import VoxtralEngine
     from voxtral_tpu.tokenizer import TekkenTokenizer
 
+    # persistent compile cache: supervisor retries (and later rounds) reuse
+    # every already-finished warm-up compile instead of redoing ~minutes of
+    # remote compilation (same knob as the CLI's --compile-cache)
+    cache_dir = os.environ.get(
+        "VOXTRAL_COMPILE_CACHE",
+        os.path.expanduser("~/.cache/voxtral_tpu/jax"),
+    )
+    if cache_dir:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
     dev = jax.devices()[0]
     print(f"bench device: {dev}", file=sys.stderr, flush=True)
 

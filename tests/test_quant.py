@@ -106,6 +106,58 @@ def test_fp8_kv_cache_end_to_end(params, tiny_tokenizer):
     assert agree >= 0.5, (agree, ref, got)
 
 
+def test_int4_groupwise_mm_close():
+    """Group-128 int4 matmul (quant.mm int4 path) tracks the f32 matmul to
+    within 4-bit group-rounding error on a 128-divisible input dim."""
+    import jax
+
+    from voxtral_tpu.models import quant
+
+    rng = np.random.default_rng(11)
+    w = jnp.asarray(rng.standard_normal((2, 64, 256)), jnp.float32)  # [L,O,I]
+    x = jnp.asarray(rng.standard_normal((5, 256)), jnp.float32)
+
+    lp = quant.quantize_layer_stack({"wqkv": w}, bits=4)
+    assert lp["wqkv"].dtype == jnp.int4
+    assert lp["wqkv_scale"].shape == (2, 64, 256 // quant.GROUP)
+
+    lp0 = jax.tree.map(lambda a: a[0], lp)
+    y = np.asarray(quant.mm(x, lp0, "wqkv", jnp.float32))
+    ref = np.asarray(x @ w[0].T)
+    rel = np.abs(y - ref).max() / (np.abs(ref).max() + 1e-9)
+    # iid-Gaussian weights are 4-bit's worst case (uniform variance, ~3.5σ
+    # row maxima): bounded by plain 4-bit rounding noise; real checkpoints
+    # (outlier-heavy rows) benefit far more from the group scales
+    assert rel < 0.15, rel
+
+    # group scales must not be WORSE than one scale per output row
+    wf = np.asarray(w[0])
+    s_row = np.abs(wf).max(axis=1, keepdims=True) / 7.0
+    q_row = np.clip(np.round(wf / s_row), -7, 7) * s_row
+    rel_row = np.abs(np.asarray(x) @ q_row.T - ref).max() / (
+        np.abs(ref).max() + 1e-9
+    )
+    assert rel <= rel_row * 1.05, (rel, rel_row)
+
+
+def test_int4_engine_end_to_end(cfg, params, tiny_tokenizer):
+    """VoxtralEngine(quantize="int4") — the CLI --int4 path — must stream a
+    clip end-to-end (decoder weights int4 + group scales, encoder exact)."""
+    from conftest import make_audio
+    from voxtral_tpu.runtime.engine import VoxtralEngine
+    from voxtral_tpu.runtime.stream import transcribe_tokens
+
+    eng = VoxtralEngine(
+        cfg, params, tokenizer=tiny_tokenizer, buckets=(16, 4, 1),
+        enc_kv_ring=64, dec_kv_ring=64, quantize="int4",
+    )
+    assert eng.params["decoder"]["layers"]["wqkv"].dtype == jnp.int4
+    assert "wqkv_scale" in eng.params["decoder"]["layers"]
+    assert eng.params["decoder"]["tok_embeddings"].dtype == jnp.int4
+    toks = transcribe_tokens(eng, make_audio(1.6, seed=43))
+    assert len(toks) > 0
+
+
 def test_quantized_forward_logits_close(engine, cfg, params):
     rng = np.random.default_rng(3)
     embeds = (rng.standard_normal((6, cfg.decoder.dim)) * 0.5).astype(np.float32)

@@ -8,6 +8,7 @@ unquantized leaves, token-level diff of the two transcripts.  The analog of
 the reference's dtype-ladder discipline (SPEED.md's fp16-vs-f32 checks).
 
 Usage: python tools/int8_ab.py [model_dir] [wav_path]
+Set AB_BITS=4 to A/B the int4 rung instead of int8.
 Prints the token counts, the number of differing positions, and the first
 few diffs; exit 0 always (the delta is a measurement, not a pass/fail).
 """
@@ -61,11 +62,12 @@ def main():
     log(f"bf16: {len(toks16)} text tokens (+{time.monotonic() - t0:.0f}s)")
     del eng
 
-    eng8 = VoxtralEngine(cfg, params, tokenizer=tok, quantize=True, **kw)
+    qmode = "int4" if os.environ.get("AB_BITS") == "4" else "int8"
+    eng8 = VoxtralEngine(cfg, params, tokenizer=tok, quantize=qmode, **kw)
     del params  # free the bf16 copies of the quantized matrices
     t0 = time.monotonic()
     toks8 = transcribe_tokens(eng8, samples)
-    log(f"int8: {len(toks8)} text tokens (+{time.monotonic() - t0:.0f}s)")
+    log(f"{qmode}: {len(toks8)} text tokens (+{time.monotonic() - t0:.0f}s)")
 
     n = max(len(toks16), len(toks8))
     diffs = [
@@ -76,11 +78,11 @@ def main():
         if (toks16[i] if i < len(toks16) else None)
         != (toks8[i] if i < len(toks8) else None)
     ]
-    print(f"INT8-AB: bf16 {len(toks16)} tokens, int8 {len(toks8)} tokens, "
+    print(f"QUANT-AB: bf16 {len(toks16)} tokens, {qmode} {len(toks8)} tokens, "
           f"{len(diffs)}/{n} positions differ "
           f"({100.0 * (1 - len(diffs) / max(1, n)):.1f}% identical)")
     for i, a, b in diffs[:10]:
-        print(f"  @ {i}: bf16 {a!r} vs int8 {b!r}")
+        print(f"  @ {i}: bf16 {a!r} vs {qmode} {b!r}")
     return 0
 
 

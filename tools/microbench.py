@@ -67,6 +67,12 @@ def main():
         )
     if os.environ.get("MB_KV"):    # KV ring storage dtype (e.g. float8_e4m3fn)
         cfg = cfg.replace(kv_dtype=os.environ["MB_KV"])
+    if os.environ.get("MB_UNROLL"):  # layer-scan unroll factor A/B
+        import dataclasses as _dc
+
+        cfg = cfg.replace(decoder=_dc.replace(
+            cfg.decoder, scan_unroll=int(os.environ["MB_UNROLL"])
+        ))
     t0 = time.monotonic()
     params = init_params(cfg, seed=0)  # generated on device — no host transfer
     jax.block_until_ready(params)
@@ -86,10 +92,14 @@ def main():
             decoder=dataclasses.replace(cfg.decoder, attn_impl="flash")
         )
         dparams = eng.params["decoder"]
-        if os.environ.get("MB_INT8"):  # int8 layers + embedding table
+        if os.environ.get("MB_INT8") or os.environ.get("MB_INT4"):
+            # int8/int4 layers + embedding table
             from voxtral_tpu.models.quant import quantize_params
 
-            dparams = quantize_params(eng.params, encoder=False)["decoder"]
+            bits = 4 if os.environ.get("MB_INT4") else 8
+            dparams = quantize_params(
+                eng.params, encoder=False, bits=bits
+            )["decoder"]
             jax.block_until_ready(dparams)
         variants = (
             ("xla", cfg),

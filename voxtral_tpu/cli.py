@@ -69,7 +69,31 @@ def main(argv=None):
                    help="int8 weight-only decoder quantization: ~2x decode "
                         "throughput, but transcripts may differ from bf16 on "
                         "near-tied tokens")
+    p.add_argument("--int4", action="store_true",
+                   help="int4 (group-128 scales) weight-only decoder "
+                        "quantization: max decode throughput, larger "
+                        "transcript deviation than --int8")
+    p.add_argument("--compile-cache", metavar="DIR",
+                   default=os.environ.get(
+                       "VOXTRAL_COMPILE_CACHE",
+                       os.path.expanduser("~/.cache/voxtral_tpu/jax"),
+                   ),
+                   help="persistent XLA compile cache directory (the warm-up "
+                        "compiles once per machine instead of once per run); "
+                        "default %(default)s")
+    p.add_argument("--no-compile-cache", action="store_true",
+                   help="disable the persistent compile cache")
     args = p.parse_args(argv)
+
+    if not args.no_compile_cache and args.compile_cache:
+        # must be set before the first compile; the Metal analog re-converts
+        # 8.4 GB at every start (voxtral.c:163-250) — here warm-up compiles
+        # persist across processes
+        import jax
+
+        os.makedirs(args.compile_cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", args.compile_cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     from .config import SAMPLE_RATE, STREAM_DEFAULT_INTERVAL_S, full_config
     from .io.wav import load_wav, parse_wav_bytes, resample_linear
@@ -127,7 +151,7 @@ def main(argv=None):
         cfg, params, tokenizer=tok, dec_kv_ring=dec_ring,
         buckets=(64, 16, 4, 1),
         decode_mode="jacobi" if args.jacobi else "sequential",
-        quantize=args.int8,
+        quantize="int4" if args.int4 else args.int8,
     )
     if args.delay is not None:
         engine.set_delay(args.delay)

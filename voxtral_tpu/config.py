@@ -119,6 +119,10 @@ class DecoderConfig:
     #            wins (12.66 vs 13.39 ms B=16); at cap >= 2048 the ring is
     #            mostly dead slots and flash's skipped reads win.
     attn_impl: str = "auto"
+    # lax.scan unroll factor for the 26-layer stack (1 = no unrolling).
+    # >1 trades compile time for less per-iteration scan overhead; A/B with
+    # MB_UNROLL in tools/microbench.py before changing the default.
+    scan_unroll: int = 1
 
     @property
     def q_dim(self) -> int:

@@ -196,6 +196,7 @@ def decoder_forward(
         body,
         (x, cache.k, cache.v),
         (params["layers"], ada, jnp.arange(d.n_layers, dtype=jnp.int32)),
+        unroll=d.scan_unroll,
     )
     return x, KVCache(k_all, v_all)
 
@@ -217,6 +218,12 @@ def final_logits(params: PyTree, cfg: VoxtralConfig, x: jax.Array) -> jax.Array:
             preferred_element_type=jnp.float32,
         )
         return y * params["tok_embeddings_scale"][None, :]
+    if emb.dtype == jnp.int4:
+        # int4 table with group scales [V, G] — 0.5 B/elem HBM reads
+        return quant._mm4(
+            xn.astype(jnp.bfloat16), emb,
+            params["tok_embeddings_scale"], jnp.bfloat16,
+        )
     return jnp.einsum(
         "td,vd->tv",
         xn.astype(emb.dtype),

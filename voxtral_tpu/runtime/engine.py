@@ -76,7 +76,8 @@ class VoxtralEngine:
         decode_mode: str = "sequential",   # or "jacobi" (models/jacobi.py)
         jacobi_window: int = 64,
         fused_streaming: bool = True,      # one-call audio side for aligned chunks
-        quantize: bool = False,            # int8 weight-only decoder (models/quant.py)
+        quantize: bool | str = False,      # int8/int4 weight-only decoder
+                                           # (False | True/"int8" | "int4")
     ):
         self.cfg = cfg
         if quantize:
@@ -85,7 +86,8 @@ class VoxtralEngine:
             # near-tied tokens (models/quant.py docstring).
             from ..models.quant import quantize_params
 
-            params = quantize_params(params, encoder=False)
+            bits = 4 if quantize == "int4" else 8
+            params = quantize_params(params, encoder=False, bits=bits)
         self.quantized = quantize
         self.params = params
         self.tokenizer = tokenizer
@@ -278,6 +280,8 @@ class VoxtralEngine:
             chunk = jnp.zeros((b, cfg.decoder.dim), cfg.cdtype)
             out = self.decode_burst(chunk, TOKEN_BOS, dec_cache, 0, n_alt=n_alt)
             dec_cache = out[-1]
+        if progress:
+            progress(f"warmup prefill (+{time.monotonic() - t0:.0f}s)")
         pf = jnp.zeros((self.prompt_len - 1, cfg.decoder.dim), jnp.float32)
         dec_cache = self.prefill(np.asarray(pf), dec_cache, 0)
         fused_qs = list(self.fused_buckets)
