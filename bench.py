@@ -1,7 +1,8 @@
 #!/usr/bin/env python
 """Benchmark: aggregate transcription throughput per chip (x-realtime).
 
-Workload (BASELINE.json): 16 streams of a 60 s clip transcribed on one chip,
+Workload (BASELINE.json baseline is 16 streams; default here 44): N
+streams of a 60 s clip transcribed on one chip,
 batch-mode schedule — full pipeline: mel, conv stem, 32-layer encoder,
 adapter, 26-layer decoder greedy bursts.  Primary metric: x-realtime per
 chip = (streams x audio seconds) / wall.  Reference best: RTF 0.3998 ==
@@ -10,7 +11,7 @@ chip = (streams x audio seconds) / wall.  Reference best: RTF 0.3998 ==
 Phasing matches the HBM budget on a 16 GB v5e: the encoder is compute-bound
 and cheap, so streams encode SEQUENTIALLY sharing ONE ring cache (epoch
 resets are free — ring masking), keeping peak memory at params + one encoder
-cache; then all 16 streams decode TOGETHER (the bandwidth-bound phase where
+cache; then all streams decode TOGETHER (the bandwidth-bound phase where
 batching pays), with only decoder caches resident.
 
 Weights: real checkpoint from $VOXTRAL_MODEL_DIR when present, else random
@@ -176,11 +177,12 @@ def _encode_clips_batched(engine, mel: np.ndarray, enc_batch: int,
 
 
 def main():
-    # 32 streams is the measured bf16 sweet spot on a 16 GB v5e: decode is
-    # weight-read-bound, so doubling the batch nearly doubles aggregate
-    # throughput (15.5 ms/step at B=32 vs 12.7 at B=16); B=48 OOMs with the
-    # ring-1024 caches (B x 109 MB) next to the 8.9 GB weights.
-    n_streams = int(os.environ.get("BENCH_STREAMS", "32"))
+    # 44 streams bf16 on a 16 GB v5e: decode is weight-read-bound, so batch
+    # amortizes weight reads (16.79 ms/step at B=44 vs 14.91 at B=32, ring
+    # 896 — 209.6x aggregate decode).  B=48 still fits (220.5x) but with no
+    # HBM slack for extra compiles; 44 keeps a stability margin for
+    # unattended driver runs (docs/PERF.md round-2 batch-scaling entries).
+    n_streams = int(os.environ.get("BENCH_STREAMS", "44"))
     seconds = float(os.environ.get("BENCH_SECONDS", "60"))
     burst = int(os.environ.get("BENCH_BURST", "64"))
 
@@ -221,8 +223,11 @@ def main():
     # enc ring 1280 enables the 1024-frame fused-encode bucket (474x vs 326x
     # realtime at 512 — fewer O(cap) ring rotates per clip); bigger chunks
     # need a bigger ring, whose attention reads then dominate (227x at 2048)
+    # dec ring 896 fits the 60 s workload exactly (39 prompt + 750 audio +
+    # 17 right-pad = 806 positions; adaptive_dec_ring math) — ~12% less KV
+    # read traffic and ring memory than the old pow2 1024
     eng_kwargs = dict(buckets=(512, 256, 64, 16, 4, 1), enc_kv_ring=1280,
-                      dec_kv_ring=1024)
+                      dec_kv_ring=int(os.environ.get("BENCH_DEC_RING", "896")))
 
     model_dir = os.environ.get("VOXTRAL_MODEL_DIR", "")
     if model_dir and os.path.exists(os.path.join(model_dir, "consolidated.safetensors")):

@@ -65,6 +65,35 @@ def test_decode_bucketing_invariance(engine, params_np, cfg):
     assert a == b
 
 
+def test_scan_unroll_equivalence(cfg, params, engine):
+    """scan_unroll > 1 (layer-scan unrolling, DecoderConfig.scan_unroll) must
+    be numerically identical to the rolled scan — it only changes loop
+    structure, not math (f32 tiny config: bitwise)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from voxtral_tpu.config import TOKEN_STREAMING_PAD
+    from voxtral_tpu.models import decoder as dec_mod
+
+    rng = np.random.default_rng(7)
+    adapter = (rng.standard_normal((12, cfg.decoder.dim)) * 0.5).astype(
+        np.float32
+    )
+    cfg2 = cfg.replace(
+        decoder=dataclasses.replace(cfg.decoder, scan_unroll=2)
+    )
+    outs = []
+    for c in (cfg, cfg2):
+        cache = engine.new_dec_cache()
+        toks, _, _, _, _ = dec_mod.decode_burst(
+            params["decoder"], c, jnp.asarray(adapter),
+            jnp.int32(TOKEN_STREAMING_PAD), cache, jnp.int32(0), engine.ada(),
+        )
+        outs.append(np.asarray(toks))
+    np.testing.assert_array_equal(outs[0], outs[1])
+
+
 def test_teacher_forced_logits_match_oracle(engine, params_np, cfg):
     """Per-step logits under teacher forcing (removes argmax-flip chaos)."""
     import torch

@@ -107,19 +107,20 @@ def test_fp8_kv_cache_end_to_end(params, tiny_tokenizer):
 
 
 def test_int4_groupwise_mm_close():
-    """Group-128 int4 matmul (quant.mm int4 path) tracks the f32 matmul to
-    within 4-bit group-rounding error on a 128-divisible input dim."""
+    """Half-scaled int4 matmul (quant.mm nibble-packed path) tracks the f32
+    matmul to within 4-bit rounding error."""
     import jax
 
     from voxtral_tpu.models import quant
 
     rng = np.random.default_rng(11)
-    w = jnp.asarray(rng.standard_normal((2, 64, 256)), jnp.float32)  # [L,O,I]
-    x = jnp.asarray(rng.standard_normal((5, 256)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((2, 64, 512)), jnp.float32)  # [L,O,I]
+    x = jnp.asarray(rng.standard_normal((5, 512)), jnp.float32)
 
     lp = quant.quantize_layer_stack({"wqkv": w}, bits=4)
-    assert lp["wqkv"].dtype == jnp.int4
-    assert lp["wqkv_scale"].shape == (2, 64, 256 // quant.GROUP)
+    assert lp["wqkv"].dtype == jnp.int8
+    assert lp["wqkv"].shape == (2, 64, 256)  # nibble-packed halves
+    assert lp["wqkv_scale"].shape == (2, 64, 2)  # one scale per half
 
     lp0 = jax.tree.map(lambda a: a[0], lp)
     y = np.asarray(quant.mm(x, lp0, "wqkv", jnp.float32))
@@ -140,6 +141,37 @@ def test_int4_groupwise_mm_close():
     assert rel <= rel_row * 1.05, (rel, rel_row)
 
 
+def test_int4_pallas_kernel_matches_xla():
+    """The Pallas nibble-packed matmul (ops/quant_mm.py, interpret mode on
+    CPU) must match the XLA half-scale path for every layer index, and the
+    custom_vmap rule must serve a whole stream batch with shared weights."""
+    import jax
+
+    from voxtral_tpu.models import quant
+    from voxtral_tpu.ops.quant_mm import int4_mm
+
+    rng = np.random.default_rng(13)
+    w = jnp.asarray(rng.standard_normal((3, 64, 512)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((5, 512)), jnp.float32)
+    lp = quant.quantize_layer_stack({"wqkv": w}, bits=4)
+    p, s = lp["wqkv"], lp["wqkv_scale"]
+
+    for li in (0, 2):
+        y_pal = np.asarray(int4_mm(x, p, s, li))
+        y_xla = np.asarray(quant._mm4(x, p[li], s[li], jnp.float32))
+        np.testing.assert_allclose(y_pal, y_xla, rtol=2e-5, atol=2e-5)
+
+    xb = jnp.asarray(rng.standard_normal((4, 5, 512)), jnp.float32)
+    yb = jax.vmap(int4_mm, in_axes=(0, None, None, None))(xb, p, s, 1)
+    assert yb.shape == (4, 5, 64)
+    for i in range(4):
+        np.testing.assert_allclose(
+            np.asarray(yb[i]),
+            np.asarray(quant._mm4(xb[i], p[1], s[1], jnp.float32)),
+            rtol=2e-5, atol=2e-5,
+        )
+
+
 def test_int4_engine_end_to_end(cfg, params, tiny_tokenizer):
     """VoxtralEngine(quantize="int4") — the CLI --int4 path — must stream a
     clip end-to-end (decoder weights int4 + group scales, encoder exact)."""
@@ -151,9 +183,12 @@ def test_int4_engine_end_to_end(cfg, params, tiny_tokenizer):
         cfg, params, tokenizer=tiny_tokenizer, buckets=(16, 4, 1),
         enc_kv_ring=64, dec_kv_ring=64, quantize="int4",
     )
-    assert eng.params["decoder"]["layers"]["wqkv"].dtype == jnp.int4
-    assert "wqkv_scale" in eng.params["decoder"]["layers"]
-    assert eng.params["decoder"]["tok_embeddings"].dtype == jnp.int4
+    lyr = eng.params["decoder"]["layers"]
+    assert lyr["wqkv"].dtype == jnp.int8
+    assert lyr["wqkv"].shape[-1] == cfg.decoder.dim // 2  # nibble-packed
+    assert lyr["wqkv_scale"].ndim == lyr["wqkv"].ndim  # group scales
+    emb = eng.params["decoder"]["tok_embeddings"]
+    assert emb.shape[-1] == cfg.decoder.dim // 2
     toks = transcribe_tokens(eng, make_audio(1.6, seed=43))
     assert len(toks) > 0
 

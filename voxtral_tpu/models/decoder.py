@@ -105,7 +105,7 @@ def _layer_step(
     q_dim, kv_dim = cfg.q_dim, cfg.kv_dim
 
     xn = rms_norm(x, lp["attn_norm"], cfg.norm_eps).astype(cdtype)
-    qkv = quant.mm(xn, lp, "wqkv", cdtype)
+    qkv = quant.mm(xn, lp, "wqkv", cdtype, li=li)
     q = qkv[:, :q_dim].reshape(t, cfg.n_heads, cfg.head_dim)
     k = qkv[:, q_dim : q_dim + kv_dim].reshape(t, cfg.n_kv_heads, cfg.head_dim)
     v = qkv[:, q_dim + kv_dim :].reshape(t, cfg.n_kv_heads, cfg.head_dim)
@@ -157,13 +157,13 @@ def _layer_step(
             window=cfg.window, out_dtype=cdtype,
         ).reshape(t, q_dim)
 
-    x = x + quant.mm(attn, lp, "wo", cdtype).astype(x.dtype)
+    x = x + quant.mm(attn, lp, "wo", cdtype, li=li).astype(x.dtype)
 
     hn = rms_norm(x, lp["ffn_norm"], cfg.norm_eps).astype(jnp.float32)
     hn = (hn * (1.0 + ada)).astype(cdtype)  # ada-RMSNorm (python:607-616)
-    g13 = quant.mm(hn, lp, "w13", cdtype)
+    g13 = quant.mm(hn, lp, "w13", cdtype, li=li)
     gate = silu(g13[:, : cfg.hidden]) * g13[:, cfg.hidden :]
-    ffn = quant.mm(gate.astype(cdtype), lp, "w2", cdtype)
+    ffn = quant.mm(gate.astype(cdtype), lp, "w2", cdtype, li=li)
     return x + ffn.astype(x.dtype), k_all, v_all
 
 
@@ -184,9 +184,28 @@ def decoder_forward(
     cos, sin = rope_cos_sin(positions, d.head_dim, d.rope_theta)
     x = embeds.astype(cdtype)
 
+    lyrs = params["layers"]
+    packed4 = quant.stack_is_packed4(lyrs)
+    if packed4:
+        # int4: the packed matrices stay OUT of the scan xs — the Pallas
+        # matmul kernel takes the full stack + layer index and slices the
+        # layer in its grid spec (a scan-sliced operand would materialize
+        # the per-layer gather; same rule as the flash-decode cache)
+        xs_lp = {
+            k: v for k, v in lyrs.items()
+            if k not in quant.PACKED_STACK_KEYS
+        }
+    else:
+        xs_lp = lyrs
+
     def body(carry, xs):
         x, k_all, v_all = carry
         lp, ada_l, li = xs
+        if packed4:
+            lp = dict(lp)
+            for k in quant.PACKED_STACK_KEYS:
+                if k in lyrs:
+                    lp[k] = lyrs[k]
         x, k_all, v_all = _layer_step(
             d, cdtype, x, lp, ada_l, k_all, v_all, li, pos0, cos, sin
         )
@@ -195,7 +214,7 @@ def decoder_forward(
     (x, k_all, v_all), _ = jax.lax.scan(
         body,
         (x, cache.k, cache.v),
-        (params["layers"], ada, jnp.arange(d.n_layers, dtype=jnp.int32)),
+        (xs_lp, ada, jnp.arange(d.n_layers, dtype=jnp.int32)),
         unroll=d.scan_unroll,
     )
     return x, KVCache(k_all, v_all)
@@ -208,6 +227,15 @@ def final_logits(params: PyTree, cfg: VoxtralConfig, x: jax.Array) -> jax.Array:
     materialize 1.6 GB every step.  x: [T, dim] -> [T, vocab] f32."""
     emb = params["tok_embeddings"]
     xn = rms_norm(x, params["final_norm"], cfg.decoder.norm_eps)
+    if quant._is_packed4(emb, params.get("tok_embeddings_scale")):
+        # nibble-packed int4 table, per-half scales [V, 2] — the Pallas
+        # kernel unpacks in VMEM so table reads stay 0.5 B/element
+        from ..ops.quant_mm import int4_mm
+
+        return int4_mm(
+            xn.astype(jnp.bfloat16), emb[None],
+            params["tok_embeddings_scale"][None], jnp.int32(0),
+        )
     if emb.dtype == jnp.int8:
         # int8 table (quant.quantize_params embeddings=True): widen in the
         # matmul operand stream, rescale per vocab row — HBM reads stay 1B
@@ -218,12 +246,6 @@ def final_logits(params: PyTree, cfg: VoxtralConfig, x: jax.Array) -> jax.Array:
             preferred_element_type=jnp.float32,
         )
         return y * params["tok_embeddings_scale"][None, :]
-    if emb.dtype == jnp.int4:
-        # int4 table with group scales [V, G] — 0.5 B/elem HBM reads
-        return quant._mm4(
-            xn.astype(jnp.bfloat16), emb,
-            params["tok_embeddings_scale"], jnp.bfloat16,
-        )
     return jnp.einsum(
         "td,vd->tv",
         xn.astype(emb.dtype),

@@ -8,12 +8,17 @@ only the rounding error (~0.4% RMS) touches the math.  XLA fuses the
 int8→bf16 convert into the matmul operand stream; the weights stay int8 in
 HBM.
 
-int4 (jnp.int4 — bit-packed on TPU) quarters the traffic but per-channel
-scales are too coarse at 4 bits (~9% RMS), so the int4 rung uses GROUP-WISE
-scales (128 input channels per scale group, the GPTQ/AWQ convention): the
-matmul becomes G grouped MXU passes 'tgi,ogi->tog' followed by a scale-
-weighted reduction over g — still one fused XLA program, weights still 4-bit
-in HBM (~1.3% RMS error).
+The int4 rung quarters the traffic.  Storage is NIBBLE-PACKED int8
+([out, in/2]; low nibbles hold input columns [0, in/2), high nibbles
+[in/2, in) — column-halves rather than interleaved pairs so unpacking is
+two shift chains, no reshuffle), because `jnp.int4` arrays cannot cross the
+jit boundary on every PJRT plugin (the dev tunnel backend rejects them).
+Scales are per (output row, nibble half) — the halves ARE the scale groups
+— so the matmul is two plain MXU dots (one per half) with row-scale
+epilogues and ZERO extra intermediates; the shift/convert unpack fuses into
+the dot's operand staging and weights stay 4-bit in HBM.  (Finer GPTQ-style
+group-128 scales were measured 2.2 ms/step SLOWER at B=16: the grouped
+einsum's [B,out,G] f32 intermediate round-trips HBM — docs/PERF.md.)
 
 The analog ladder in the reference is fp16 KV + f16 weights on Metal
 (SPEED.md:171-182); this module is the ladder's int8 and int4 rungs, plus
@@ -37,11 +42,6 @@ PyTree = Any
 # weights quantized in the decoder/encoder layer stacks
 _QUANT_KEYS = ("wqkv", "wo", "w13", "w2")
 
-# input channels per int4 scale group; dims not divisible fall back to one
-# group (per-output-channel)
-GROUP = 128
-
-
 def _quantize(w: jax.Array):
     """[..., out, in] float -> (int8 [..., out, in], f32 scale [..., out, 1])."""
     wf = w.astype(jnp.float32)
@@ -51,33 +51,55 @@ def _quantize(w: jax.Array):
     return q, s
 
 
-def _group_size(in_dim: int) -> int:
-    return GROUP if in_dim % GROUP == 0 else in_dim
-
-
 def _quantize4(w: jax.Array):
-    """[..., out, in] float -> (int4 [..., out, in], f32 scale [..., out, G])
-    with group-wise symmetric scales over `GROUP` input channels."""
+    """[..., out, in] float -> (nibble-packed int8 [..., out, in/2],
+    f32 scale [..., out, 2]) with one symmetric scale per nibble half.
+
+    Packing: p[..., j] = (q[..., j] & 0xF) | (q[..., j + in/2] << 4)."""
     wf = w.astype(jnp.float32)
     in_dim = wf.shape[-1]
-    g = _group_size(in_dim)
-    wg = wf.reshape(*wf.shape[:-1], in_dim // g, g)
-    s = jnp.max(jnp.abs(wg), axis=-1) / 7.0          # [..., out, G]
+    assert in_dim % 2 == 0, in_dim
+    wg = wf.reshape(*wf.shape[:-1], 2, in_dim // 2)
+    s = jnp.max(jnp.abs(wg), axis=-1) / 7.0          # [..., out, 2]
     s = jnp.maximum(s, 1e-12)
     q = jnp.clip(jnp.round(wg / s[..., None]), -7, 7)
-    return q.reshape(wf.shape).astype(jnp.int4), s
+    q = q.reshape(wf.shape).astype(jnp.int8)
+    half = in_dim // 2
+    lo, hi = q[..., :half], q[..., half:]
+    return (lo & 0xF) | (hi << 4), s
+
+
+def _unpack4(p: jax.Array, cdtype):
+    """Nibble-packed int8 [..., in/2] -> (lo, hi) halves in cdtype.
+    int8 shifts are arithmetic, so (p << 4) >> 4 sign-extends the low
+    nibble and p >> 4 the high one."""
+    lo = jnp.right_shift(jnp.left_shift(p, 4), 4)
+    hi = jnp.right_shift(p, 4)
+    return lo.astype(cdtype), hi.astype(cdtype)
+
+
+@partial(jax.jit, static_argnames=("c",))
+def _quantize_table4(emb: jax.Array, c: int):
+    """Group-wise int4 quantize a [V, dim] table, mapping over `c` row
+    chunks to bound the f32 temporaries (the full table would materialize
+    1.6 GB twice at full size)."""
+    v, dim = emb.shape
+    q, s = jax.lax.map(_quantize4, emb.reshape(c, v // c, dim))
+    return q.reshape(v, dim // 2), s.reshape(v, s.shape[-1])
 
 
 @partial(jax.jit, static_argnames=("bits",))
 def quantize_layer_stack(layers: PyTree, bits: int = 8) -> PyTree:
     """Quantize the big matrices of a stacked layer dict in place; adds
     '<name>_scale' siblings ([L, out] for int8, [L, out, G] for int4).
-    Norms/biases/ada stay as-is."""
+    Norms/biases/ada stay as-is.  The int4 path maps over the layer axis:
+    quantizing the whole [L, out, in] stack at once materializes two f32
+    copies (5.5 GB each for w13 at full size) and OOMs a 16 GB chip."""
     out = dict(layers)
     for k in _QUANT_KEYS:
         if k in out:
             if bits == 4:
-                out[k], out[k + "_scale"] = _quantize4(out[k])
+                out[k], out[k + "_scale"] = jax.lax.map(_quantize4, out[k])
             else:
                 q, s = _quantize(out[k])
                 out[k] = q
@@ -88,22 +110,24 @@ def quantize_layer_stack(layers: PyTree, bits: int = 8) -> PyTree:
 def quantize_params(params: PyTree, *, encoder: bool = True,
                     decoder: bool = True, embeddings: bool = True,
                     bits: int = 8) -> PyTree:
-    """Return params with layer-stack matrices int8-quantized.
+    """Return params with layer-stack matrices quantized (int8, or int4
+    nibble-packed when bits=4).
 
     With `embeddings`, the decoder's tied 131072×3072 embedding table is
     quantized per-row too: the LOGITS matmul reads the whole table every
     step (~800 MB bf16 — the largest single non-layer read), while lookups
-    gather a handful of rows, so per-row scales halve the big read and only
-    add rounding noise (~0.4% RMS) to the few gathered rows."""
+    gather a handful of rows, so per-row scales halve/quarter the big read
+    and only add rounding noise to the few gathered rows."""
     out = dict(params)
     if decoder and "decoder" in out:
         d = dict(out["decoder"])
         d["layers"] = quantize_layer_stack(d["layers"], bits=bits)
         if embeddings:
             if bits == 4:
-                d["tok_embeddings"], d["tok_embeddings_scale"] = _quantize4(
-                    d["tok_embeddings"]
-                )  # scale [V, G]
+                emb = d["tok_embeddings"]
+                c = 8 if emb.shape[0] % 8 == 0 else 1
+                d["tok_embeddings"], d["tok_embeddings_scale"] = \
+                    _quantize_table4(emb, c)  # scale [V, G]
             else:
                 q, s = _quantize(d["tok_embeddings"])
                 d["tok_embeddings"] = q
@@ -116,51 +140,88 @@ def quantize_params(params: PyTree, *, encoder: bool = True,
     return out
 
 
+def _is_packed4(w: jax.Array, s: jax.Array | None) -> bool:
+    """int4 rung marker: int8 storage whose half-scale keeps the full rank
+    ([out, 2] next to w [out, in/2]; plain int8 scales drop to [out])."""
+    return s is not None and w.dtype == jnp.int8 and s.ndim == w.ndim
+
+
+# stacked-layer keys that stay OUT of the scan xs when int4-packed: the
+# Pallas kernel wants the full [L, out, in/2] stack + a layer index (a
+# scan-sliced operand would materialize the per-layer gather — the same
+# rule as the flash-decode cache, ops/flash_decode.py docstring)
+PACKED_STACK_KEYS = tuple(
+    k for key in _QUANT_KEYS for k in (key, key + "_scale")
+)
+
+
+def stack_is_packed4(layers: PyTree) -> bool:
+    """True when a stacked layer dict holds nibble-packed int4 matrices."""
+    w, s = layers.get("wqkv"), layers.get("wqkv_scale")
+    return (
+        s is not None and w.dtype == jnp.int8
+        and s.ndim == 3 and s.shape[-1] == 2
+    )
+
+
 def embed_rows(dparams: PyTree, ids: jax.Array) -> jax.Array:
     """tok_embeddings[ids] -> f32, transparent to int8/int4 table storage.
     ids: any integer shape; returns ids.shape + [dim]."""
     emb = dparams["tok_embeddings"]
+    s = dparams.get("tok_embeddings_scale")
+    if _is_packed4(emb, s):
+        lo, hi = _unpack4(emb[ids], jnp.float32)
+        rows = jnp.concatenate([lo, hi], axis=-1)          # [.., dim]
+        sg = s[ids].astype(jnp.float32)                    # [.., G]
+        g = rows.shape[-1] // sg.shape[-1]
+        return (
+            rows.reshape(*rows.shape[:-1], sg.shape[-1], g) * sg[..., None]
+        ).reshape(rows.shape)
     rows = emb[ids].astype(jnp.float32)
     if emb.dtype == jnp.int8:
-        rows = rows * jnp.expand_dims(
-            dparams["tok_embeddings_scale"][ids].astype(jnp.float32), -1
-        )
-    elif emb.dtype == jnp.int4:
-        s = dparams["tok_embeddings_scale"][ids].astype(jnp.float32)  # [.., G]
-        g = rows.shape[-1] // s.shape[-1]
-        rows = (
-            rows.reshape(*rows.shape[:-1], s.shape[-1], g) * s[..., None]
-        ).reshape(rows.shape)
+        rows = rows * jnp.expand_dims(s[ids].astype(jnp.float32), -1)
     return rows
 
 
-def _mm4(x: jax.Array, q: jax.Array, s: jax.Array, cdtype) -> jax.Array:
-    """Group-wise int4 matmul: x [T, in], q int4 [out, in], s f32 [out, G]
-    -> f32 [T, out].  G grouped MXU passes + a scale-weighted g-reduction;
-    the int4->bf16 widening fuses into the operand stream (0.5 B/elem HBM)."""
-    t, in_dim = x.shape
-    o, grp = q.shape[0], s.shape[-1]
-    g = in_dim // grp
-    xg = x.reshape(t, grp, g)
-    qg = q.reshape(o, grp, g).astype(cdtype)
-    y = jnp.einsum("tgi,ogi->tog", xg, qg, preferred_element_type=jnp.float32)
-    return jnp.einsum("tog,og->to", y, s, preferred_element_type=jnp.float32)
+def _mm4(x: jax.Array, p: jax.Array, s: jax.Array, cdtype) -> jax.Array:
+    """Half-scaled int4 matmul: x [T, in], p nibble-packed int8 [out, in/2],
+    s f32 [out, 2] -> f32 [T, out].  Two plain MXU dots (one per nibble
+    half) with row-scale epilogues; the shift+convert unpack fuses into the
+    dot operand staging, so HBM reads stay 0.5 B/element and nothing but
+    the [T, out] results is materialized."""
+    half = x.shape[-1] // 2
+    lo, hi = _unpack4(p, cdtype)
+    y_lo = jnp.einsum(
+        "td,od->to", x[:, :half], lo, preferred_element_type=jnp.float32
+    )
+    y_hi = jnp.einsum(
+        "td,od->to", x[:, half:], hi, preferred_element_type=jnp.float32
+    )
+    return y_lo * s[None, :, 0] + y_hi * s[None, :, 1]
 
 
-def mm(x: jax.Array, lp: PyTree, name: str, cdtype) -> jax.Array:
+def mm(x: jax.Array, lp: PyTree, name: str, cdtype, li=None) -> jax.Array:
     """einsum('td,od->to') with transparent int8/int4 dequantization.
 
-    x: [T, in] (cdtype); lp[name]: [out, in] (cdtype, int8 with
-    lp[name+'_scale'] [out], or int4 with group scales [out, G]).
-    Returns f32 [T, out].
+    x: [T, in] (cdtype); lp[name]: [out, in] (cdtype or int8 with
+    lp[name+'_scale'] [out]) or nibble-packed int4 [out, in/2] with
+    per-half scales [out, 2].  When lp holds the full STACKED int4 weight
+    ([L, out, in/2]) and `li` is given, the Pallas kernel unpacks in VMEM
+    (ops/quant_mm.py) — 0.5 B/element HBM reads, which the XLA shift-chain
+    path cannot achieve (it materializes the unpack).  Returns f32 [T, out].
     """
     w = lp[name]
+    s = lp.get(name + "_scale") if hasattr(lp, "get") else None
+    if s is not None and li is not None and w.ndim == 3 and s.ndim == 3:
+        from ..ops.quant_mm import int4_mm
+
+        return int4_mm(x.astype(cdtype), w, s, li)
+    if _is_packed4(w, s):
+        return _mm4(x, w, s, cdtype)
     if w.dtype == jnp.int8:
         y = jnp.einsum(
             "td,od->to", x, w.astype(cdtype),
             preferred_element_type=jnp.float32,
         )
-        return y * lp[name + "_scale"][None, :]
-    if w.dtype == jnp.int4:
-        return _mm4(x, w, lp[name + "_scale"], cdtype)
+        return y * s[None, :]
     return jnp.einsum("td,od->to", x, w, preferred_element_type=jnp.float32)

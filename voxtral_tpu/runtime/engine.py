@@ -38,15 +38,18 @@ def _pow2ceil(n: int) -> int:
 
 
 def adaptive_dec_ring(cfg: VoxtralConfig, n_samples: int, slack: int = 64) -> int:
-    """Smallest power-of-two decoder ring that holds a whole clip of
+    """Smallest 128-aligned decoder ring that holds a whole clip of
     `n_samples` (prompt + audio tokens + right padding), capped at the
     attention window.  The analog of the reference's grow-to-fit KV cache
-    for offline clips (voxtral_decoder.c:214-311)."""
+    for offline clips (voxtral_decoder.c:214-311).  128-aligned rather than
+    power-of-two: ring index math is modular (any cap works) and 128 divides
+    the Pallas kernels' block/tile sizes; a 60 s clip then rides an
+    896-slot ring instead of 1024 — ~12% less KV traffic and cache memory."""
     from ..config import RAW_AUDIO_LENGTH_PER_TOK, n_right_pad_tokens
 
     toks = (n_samples + RAW_AUDIO_LENGTH_PER_TOK - 1) // RAW_AUDIO_LENGTH_PER_TOK
     total = (1 + 32 + cfg.delay_tokens) + toks + n_right_pad_tokens(cfg.delay_tokens)
-    return min(cfg.decoder.window, _pow2ceil(total + slack))
+    return min(cfg.decoder.window, max(256, -(-(total + slack) // 128) * 128))
 
 
 def decompose(n: int, buckets: Sequence[int]) -> list[int]:
