@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """Benchmark: aggregate transcription throughput per chip (x-realtime).
 
-Workload (BASELINE.json baseline is 16 streams; default here 44): N
+Workload (BASELINE.json baseline is 16 streams; default here 40): N
 streams of a 60 s clip transcribed on one chip,
 batch-mode schedule — full pipeline: mel, conv stem, 32-layer encoder,
 adapter, 26-layer decoder greedy bursts.  Primary metric: x-realtime per
@@ -55,6 +55,7 @@ def _supervised() -> int:
         )
         last = time.monotonic()
         result = None
+        oom = False
         import selectors
 
         sel = selectors.DefaultSelector()
@@ -68,6 +69,9 @@ def _supervised() -> int:
                     if line.lstrip().startswith("{") and '"metric"' in line:
                         result = line.strip()
                     else:
+                        if "RESOURCE_EXHAUSTED" in line or \
+                                "Ran out of memory" in line:
+                            oom = True
                         print(line, end="", file=sys.stderr, flush=True)
             if time.monotonic() - last > stall:
                 print(f"[bench] stalled {stall:.0f}s; killing child",
@@ -77,9 +81,18 @@ def _supervised() -> int:
         for line in proc.stdout:
             if line.lstrip().startswith("{") and '"metric"' in line:
                 result = line.strip()
+            elif "RESOURCE_EXHAUSTED" in line or "Ran out of memory" in line:
+                oom = True
         if result:
             print(result)
             return 0
+        if oom:
+            # HBM doesn't grow back on retry: shed streams instead of
+            # burning attempts on the same OOM
+            cur = int(env.get("BENCH_STREAMS", "40"))
+            env["BENCH_STREAMS"] = str(max(16, cur - 8))
+            print(f"[bench] OOM at {cur} streams; retrying with "
+                  f"{env['BENCH_STREAMS']}", file=sys.stderr, flush=True)
         print("[bench] attempt failed; cooling down 60s", file=sys.stderr,
               flush=True)
         time.sleep(60)
@@ -177,12 +190,13 @@ def _encode_clips_batched(engine, mel: np.ndarray, enc_batch: int,
 
 
 def main():
-    # 44 streams bf16 on a 16 GB v5e: decode is weight-read-bound, so batch
+    # 40 streams bf16 on a 16 GB v5e: decode is weight-read-bound, so batch
     # amortizes weight reads (16.79 ms/step at B=44 vs 14.91 at B=32, ring
-    # 896 — 209.6x aggregate decode).  B=48 still fits (220.5x) but with no
-    # HBM slack for extra compiles; 44 keeps a stability margin for
-    # unattended driver runs (docs/PERF.md round-2 batch-scaling entries).
-    n_streams = int(os.environ.get("BENCH_STREAMS", "44"))
+    # 896 — 209.6x aggregate DECODE-ONLY).  But the full pipeline also holds
+    # the [B, n_audio, 3072] f32 adapter rows: 44 and 48 both OOM end-to-end
+    # (measured); 40 is the largest batch that fits the whole bench.  The
+    # supervisor sheds 8 streams per RESOURCE_EXHAUSTED attempt as a net.
+    n_streams = int(os.environ.get("BENCH_STREAMS", "40"))
     seconds = float(os.environ.get("BENCH_SECONDS", "60"))
     burst = int(os.environ.get("BENCH_BURST", "64"))
 
