@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """Benchmark: aggregate transcription throughput per chip (x-realtime).
 
-Workload (BASELINE.json baseline is 16 streams; default here 40): N
+Workload (BASELINE.json baseline is 16 streams; default here 32): N
 streams of a 60 s clip transcribed on one chip,
 batch-mode schedule — full pipeline: mel, conv stem, 32-layer encoder,
 adapter, 26-layer decoder greedy bursts.  Primary metric: x-realtime per
@@ -89,7 +89,7 @@ def _supervised() -> int:
         if oom:
             # HBM doesn't grow back on retry: shed streams instead of
             # burning attempts on the same OOM
-            cur = int(env.get("BENCH_STREAMS", "40"))
+            cur = int(env.get("BENCH_STREAMS", "32"))
             env["BENCH_STREAMS"] = str(max(16, cur - 8))
             print(f"[bench] OOM at {cur} streams; retrying with "
                   f"{env['BENCH_STREAMS']}", file=sys.stderr, flush=True)
@@ -190,13 +190,14 @@ def _encode_clips_batched(engine, mel: np.ndarray, enc_batch: int,
 
 
 def main():
-    # 40 streams bf16 on a 16 GB v5e: decode is weight-read-bound, so batch
-    # amortizes weight reads (16.79 ms/step at B=44 vs 14.91 at B=32, ring
-    # 896 — 209.6x aggregate DECODE-ONLY).  But the full pipeline also holds
-    # the [B, n_audio, 3072] f32 adapter rows: 44 and 48 both OOM end-to-end
-    # (measured); 40 is the largest batch that fits the whole bench.  The
-    # supervisor sheds 8 streams per RESOURCE_EXHAUSTED attempt as a net.
-    n_streams = int(os.environ.get("BENCH_STREAMS", "40"))
+    # 32 streams bf16 on a 16 GB v5e: decode is weight-read-bound, so batch
+    # amortizes weight reads (14.91 ms/step at B=32 vs 12.45 at B=16, ring
+    # 896; B=44/48 reach 209-220x in the DECODE-ONLY microbench).  But the
+    # full pipeline also holds the [B, n_audio, 3072] f32 adapter rows:
+    # 40/44/48 all OOM end-to-end (measured); 32 is the sweet spot that
+    # fits the whole bench.  The supervisor sheds 8 streams per
+    # RESOURCE_EXHAUSTED attempt as a net.
+    n_streams = int(os.environ.get("BENCH_STREAMS", "32"))
     seconds = float(os.environ.get("BENCH_SECONDS", "60"))
     burst = int(os.environ.get("BENCH_BURST", "64"))
 
@@ -401,6 +402,41 @@ def main():
         log(f"int8 step {int8_step_ms:.2f} ms ({n_int8} streams)")
         del state, dec_cache, qdec
 
+    # --- int4 (Pallas in-VMEM-unpack kernel) + fp8 KV: the full dtype
+    # ladder's bottom rung; step time only, like the int8 extra.  The int4
+    # copy is only 1.6 GB and fp8 rings are half-size, so this extra runs
+    # at up to 32 streams next to the resident bf16 weights ---------------
+    int4_step_ms = -1.0
+    n_int4 = min(n_streams, 32)
+    if os.environ.get("BENCH_INT4", "1") != "0":
+        from voxtral_tpu.models.quant import quantize_params
+
+        cfg4 = cfg.replace(kv_dtype="float8_e4m3fn")
+        qdec4 = quantize_params(
+            {"decoder": params["decoder"]}, encoder=False, bits=4
+        )["decoder"]
+        jax.block_until_ready(qdec4["layers"]["wqkv"])
+        dec_cache = sv.batched_dec_cache(cfg4, n_int4, engine.dec_kv_ring)
+        chunk4 = jnp.zeros((n_int4, 64, cfg.decoder.dim), jnp.float32)
+        prev4 = jnp.full((n_int4,), 32, jnp.int32)
+        state = {"c": dec_cache}
+
+        def q4_step():
+            toks, _, _, _, state["c"] = sv.bdecode_burst(
+                qdec4, cfg4, chunk4, prev4, state["c"],
+                jnp.full((n_int4,), 100, jnp.int32), engine.ada(),
+            )
+            return toks
+
+        _ = np.asarray(q4_step())
+        t0 = time.monotonic()
+        for _ in range(4):
+            toks4 = q4_step()
+        _ = np.asarray(toks4)
+        int4_step_ms = 1000.0 * (time.monotonic() - t0) / (4 * 64)
+        log(f"int4+fp8kv step {int4_step_ms:.2f} ms ({n_int4} streams)")
+        del state, dec_cache, qdec4
+
     # --- phase 2: single-stream p50 token latency at -I 0.5 ----------------
     from voxtral_tpu.runtime.stream import VoxStream
 
@@ -444,6 +480,10 @@ def main():
         "int8_streams": n_int8,
         "int8_aggregate_x_realtime_est": (
             round(n_int8 * 80.0 / int8_step_ms, 1) if int8_step_ms > 0 else -1
+        ),
+        "int4_fp8kv_decoder_step_ms_batched": round(int4_step_ms, 3),
+        "int4_fp8kv_aggregate_x_realtime_est": (
+            round(n_int4 * 80.0 / int4_step_ms, 1) if int4_step_ms > 0 else -1
         ),
         "device": str(dev),
         "weights": "real" if model_dir else "random",
