@@ -89,7 +89,9 @@ def _supervised() -> int:
         if oom:
             # HBM doesn't grow back on retry: shed streams instead of
             # burning attempts on the same OOM
-            cur = int(env.get("BENCH_STREAMS", "32"))
+            cur = int(env.get(
+                "BENCH_STREAMS",
+                "64" if env.get("BENCH_MODE") == "int4" else "32"))
             env["BENCH_STREAMS"] = str(max(16, cur - 8))
             print(f"[bench] OOM at {cur} streams; retrying with "
                   f"{env['BENCH_STREAMS']}", file=sys.stderr, flush=True)
@@ -197,7 +199,14 @@ def main():
     # 40/44/48 all OOM end-to-end (measured); 32 is the sweet spot that
     # fits the whole bench.  The supervisor sheds 8 streams per
     # RESOURCE_EXHAUSTED attempt as a net.
-    n_streams = int(os.environ.get("BENCH_STREAMS", "32"))
+    # BENCH_MODE=int4: the production high-density serving mode — encoder
+    # exact bf16, decoder int4 (Pallas kernel) + fp8 KV, no bf16 decoder
+    # masters resident, so streams scale to 64 (decode-only plateau is
+    # ~454x at B=64-80, docs/PERF.md).  Transcripts may differ from bf16 on
+    # near-tied tokens, so this is not the default headline.
+    mode = os.environ.get("BENCH_MODE", "bf16")
+    default_streams = "64" if mode == "int4" else "32"
+    n_streams = int(os.environ.get("BENCH_STREAMS", default_streams))
     seconds = float(os.environ.get("BENCH_SECONDS", "60"))
     burst = int(os.environ.get("BENCH_BURST", "64"))
 
@@ -233,6 +242,8 @@ def main():
     print(f"bench device: {dev}", file=sys.stderr, flush=True)
 
     cfg = full_config()
+    if mode == "int4":
+        cfg = cfg.replace(kv_dtype="float8_e4m3fn")
     # big encode buckets cut per-call dispatch overhead (matters on remote
     # tunnels); enc ring must cover window 750 + the largest bucket
     # enc ring 1280 enables the 1024-frame fused-encode bucket (474x vs 326x
@@ -255,7 +266,13 @@ def main():
         params = init_params(cfg, seed=0)
         tok = TekkenTokenizer([bytes([i % 256]) for i in range(1000)], 1000)
 
-    engine = VoxtralEngine(cfg, params, tokenizer=tok, **eng_kwargs)
+    engine = VoxtralEngine(
+        cfg, params, tokenizer=tok,
+        quantize="int4" if mode == "int4" else False, **eng_kwargs
+    )
+    # rebind so the pre-quantization bf16 decoder copies become garbage and
+    # their HBM is freed (the whole point of the int4 serving mode)
+    params = engine.params
     L = engine.prompt_len
 
     # --- the audio workload -------------------------------------------------
@@ -375,7 +392,7 @@ def main():
     # extra runs at <=16 streams regardless of the headline batch — at B=32
     # the combined footprint (8.9 bf16 + 3.4 int8 + 3.5 rings GB) OOMs
     n_int8 = min(n_streams, 16)
-    if os.environ.get("BENCH_INT8", "1") != "0":
+    if mode == "bf16" and os.environ.get("BENCH_INT8", "1") != "0":
         from voxtral_tpu.models.quant import quantize_layer_stack
 
         qdec = dict(params["decoder"])
@@ -408,7 +425,7 @@ def main():
     # at up to 32 streams next to the resident bf16 weights ---------------
     int4_step_ms = -1.0
     n_int4 = min(n_streams, 32)
-    if os.environ.get("BENCH_INT4", "1") != "0":
+    if mode == "bf16" and os.environ.get("BENCH_INT4", "1") != "0":
         from voxtral_tpu.models.quant import quantize_params
 
         cfg4 = cfg.replace(kv_dtype="float8_e4m3fn")
@@ -487,9 +504,11 @@ def main():
         ),
         "device": str(dev),
         "weights": "real" if model_dir else "random",
+        "mode": mode,
     }
     print(json.dumps({
-        "metric": f"aggregate_x_realtime_per_chip_60s_{n_streams}streams",
+        "metric": f"aggregate_x_realtime_per_chip_60s_{n_streams}streams"
+                  + ("_int4" if mode == "int4" else ""),
         "value": round(x_rt, 2),
         "unit": "x_realtime",
         "vs_baseline": round(x_rt / REF_X_REALTIME, 2),

@@ -171,6 +171,15 @@ def test_int4_pallas_kernel_matches_xla():
             rtol=2e-5, atol=2e-5,
         )
 
+    # prefill-sized row counts exercise the row-tile + padding path
+    # (batched prefill folds B*38 rows; untiled x blocks blow VMEM on chip)
+    xl = jnp.asarray(rng.standard_normal((300, 512)), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(int4_mm(xl, p, s, 0)),
+        np.asarray(quant._mm4(xl, p[0], s[0], jnp.float32)),
+        rtol=2e-5, atol=2e-5,
+    )
+
 
 def test_int4_engine_end_to_end(cfg, params, tiny_tokenizer):
     """VoxtralEngine(quantize="int4") — the CLI --int4 path — must stream a

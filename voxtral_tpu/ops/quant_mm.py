@@ -35,6 +35,11 @@ from jax.experimental.pallas import tpu as pltpu
 # bf16 halves stay well under the VMEM budget for every matrix in the model
 DEFAULT_OUT_TILE = 256
 
+# activation rows per grid instance: decode steps have B*T <= ~128 rows
+# (one tile), but batched PREFILL folds B*38 rows — an untiled x block
+# ([1216, 9216] bf16 = 21 MB) blows the 16 MB VMEM scoped limit
+DEFAULT_ROW_TILE = 256
+
 
 def _kernel(li_ref, x_ref, p_ref, s_ref, o_ref, *, half: int):
     del li_ref  # only used by the BlockSpec index maps
@@ -80,28 +85,41 @@ def int4_mm_stacked(
     ot = out_tile or min(DEFAULT_OUT_TILE, out_dim)
     while out_dim % ot:   # tiny test configs: largest divisor <= the tile
         ot -= 1
+    rt = min(DEFAULT_ROW_TILE, t)
+    pad = (-t) % rt
+    if pad:  # prefill row counts are arbitrary; pad to a whole tile
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+    t_p = t + pad
 
     li = jnp.asarray(li, jnp.int32).reshape(1)
+    # o is the minor grid dim: per row tile, x stays resident while the
+    # packed tiles stream through
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(out_dim // ot,),
+        grid=(t_p // rt, out_dim // ot),
         in_specs=[
-            pl.BlockSpec((t, in_dim), lambda o, li: (0, 0),
+            pl.BlockSpec((rt, in_dim), lambda r, o, li: (r, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ot, half), lambda o, li: (li[0], o, 0),
+            pl.BlockSpec((1, ot, half), lambda r, o, li: (li[0], o, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ot, 2), lambda o, li: (li[0], o, 0),
+            pl.BlockSpec((1, ot, 2), lambda r, o, li: (li[0], o, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((t, ot), lambda o, li: (0, o),
+        out_specs=pl.BlockSpec((rt, ot), lambda r, o, li: (r, o),
                                memory_space=pltpu.VMEM),
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(_kernel, half=half),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((t, out_dim), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((t_p, out_dim), jnp.float32),
         interpret=interpret,
+        # the i32 unpack intermediates put the worst tile (w2: in 9216)
+        # near the 16 MB default scoped-vmem limit; give Mosaic headroom
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
     )(li, x, p_all, s_all)
+    return out[:t] if pad else out
 
 
 @functools.lru_cache(maxsize=None)
