@@ -91,7 +91,7 @@ def _supervised() -> int:
             # burning attempts on the same OOM
             cur = int(env.get(
                 "BENCH_STREAMS",
-                "64" if env.get("BENCH_MODE") == "int4" else "32"))
+                "56" if env.get("BENCH_MODE") == "int4" else "32"))
             env["BENCH_STREAMS"] = str(max(16, cur - 8))
             print(f"[bench] OOM at {cur} streams; retrying with "
                   f"{env['BENCH_STREAMS']}", file=sys.stderr, flush=True)
@@ -201,11 +201,12 @@ def main():
     # RESOURCE_EXHAUSTED attempt as a net.
     # BENCH_MODE=int4: the production high-density serving mode — encoder
     # exact bf16, decoder int4 (Pallas kernel) + fp8 KV, no bf16 decoder
-    # masters resident, so streams scale to 64 (decode-only plateau is
-    # ~454x at B=64-80, docs/PERF.md).  Transcripts may differ from bf16 on
-    # near-tied tokens, so this is not the default headline.
+    # masters resident, so streams scale to 56 end-to-end (225.8x measured;
+    # decode-only plateau ~454x at B=64-80, docs/PERF.md).  Transcripts may
+    # differ from bf16 on near-tied tokens, so this is not the default
+    # headline.
     mode = os.environ.get("BENCH_MODE", "bf16")
-    default_streams = "64" if mode == "int4" else "32"
+    default_streams = "56" if mode == "int4" else "32"
     n_streams = int(os.environ.get("BENCH_STREAMS", default_streams))
     seconds = float(os.environ.get("BENCH_SECONDS", "60"))
     burst = int(os.environ.get("BENCH_BURST", "64"))
