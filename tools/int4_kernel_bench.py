@@ -7,7 +7,8 @@ loading the full engine, so kernel wins/losses are not confounded by
 resident weights.  Traffic floors at 819 GB/s (v5e): bf16 2 B/elem,
 int8 1 B/elem, int4 0.5 B/elem.
 
-Usage: python tools/int4_kernel_bench.py [rows]
+Usage: python tools/int4_kernel_bench.py [rows] [matrix ...]
+(default matrix: w13 — the dominant read; pass "all" for every matrix)
 """
 
 from __future__ import annotations
@@ -24,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def timeit(fn, iters=30):
+def timeit(fn, iters=10):
     fn()  # compile + first-exec (lazy server compile on the tunnel)
     np.asarray(jax.tree.leaves(fn())[0])  # sync via D2H (CLAUDE.md rule)
     t0 = time.monotonic()
@@ -44,6 +45,9 @@ def main():
         "w13": (18432, 3072),
         "w2": (3072, 9216),
     }
+    pick = sys.argv[2:] or ["w13"]
+    if pick != ["all"]:
+        mats = {k: v for k, v in mats.items() if k in pick}
     from voxtral_tpu.models.quant import _quantize, _quantize4
     from voxtral_tpu.ops.quant_mm import int4_mm
 
@@ -57,26 +61,43 @@ def main():
         q8, s8 = jax.jit(_quantize)(w)
         s8 = s8.squeeze(-1)
         jax.block_until_ready((p4, s4, q8))
-        li = jnp.int32(L // 2)
 
-        def f_bf16():
+        # Time a 26-LAYER CHAIN per dispatch (fori_loop over the layer
+        # index), matching real decode usage — a single standalone matmul
+        # is dominated by the remote tunnel's per-dispatch latency.
+        # Weights/activations are explicit ARGUMENTS: a jitted closure
+        # over GB-scale arrays embeds them as HLO constants and wedges the
+        # TPU compiler's constant folding (CLAUDE.md rule).
+        def chain(step):
+            def run(x, *ws):
+                def body(li, acc):
+                    y = step(x, li, *ws)
+                    # reduce over ALL columns so XLA cannot narrow the dot
+                    return acc + jnp.sum(y, axis=1, keepdims=True)
+                return jax.lax.fori_loop(
+                    0, L, body, jnp.zeros((x.shape[0], 1), jnp.float32)
+                )
+            return jax.jit(run)
+
+        def s_bf16(x, li, w):
             wl = jax.lax.dynamic_index_in_dim(w, li, 0, keepdims=False)
             return jnp.einsum("td,od->to", x, wl,
                               preferred_element_type=jnp.float32)
 
-        def f_int8():
+        def s_int8(x, li, q8, s8):
             wl = jax.lax.dynamic_index_in_dim(q8, li, 0, keepdims=False)
             sl = jax.lax.dynamic_index_in_dim(s8, li, 0, keepdims=False)
             y = jnp.einsum("td,od->to", x, wl.astype(jnp.bfloat16),
                            preferred_element_type=jnp.float32)
             return y * sl[None, :]
 
-        def f_int4():
+        def s_int4(x, li, p4, s4):
             return int4_mm(x, p4, s4, li)
 
-        t16 = timeit(jax.jit(f_bf16))
-        t8 = timeit(jax.jit(f_int8))
-        t4 = timeit(jax.jit(f_int4))
+        f16, f8, f4 = chain(s_bf16), chain(s_int8), chain(s_int4)
+        t16 = timeit(lambda: f16(x, w)) / L
+        t8 = timeit(lambda: f8(x, q8, s8)) / L
+        t4 = timeit(lambda: f4(x, p4, s4)) / L
         gb = L and (o * i)  # per-layer elements
         print(f"{name} [{o}x{i}]: bf16 {t16*1e6:.0f} us "
               f"(floor {gb*2/819e3:.0f}) | int8 {t8*1e6:.0f} us "
