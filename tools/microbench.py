@@ -50,7 +50,6 @@ def main():
     import jax.numpy as jnp
 
     from voxtral_tpu.config import full_config
-    from voxtral_tpu.models.decoder import ada_scales
     from voxtral_tpu.models.params import init_params
     from voxtral_tpu.parallel import serving as sv
     from voxtral_tpu.runtime.engine import VoxtralEngine
