@@ -36,6 +36,12 @@ import numpy as np
 REF_X_REALTIME = 1.0 / 0.3998  # reference corpus RTF (SPEED.md:16)
 
 
+def _default_streams(mode: str) -> int:
+    """One source of truth for the per-mode default stream count (used by
+    both the supervisor's OOM-shed logic and main())."""
+    return 56 if mode == "int4" else 32
+
+
 def _supervised() -> int:
     """Run the measurement in a child process with a stall watchdog.
 
@@ -88,11 +94,22 @@ def _supervised() -> int:
             return 0
         if oom:
             # HBM doesn't grow back on retry: shed streams instead of
-            # burning attempts on the same OOM
+            # burning attempts on the same OOM.  -8 down to 16, then halve;
+            # an OOM at the 8-stream floor is unrecoverable — bail out
+            # rather than retrying the identical configuration.
             cur = int(env.get(
                 "BENCH_STREAMS",
-                "56" if env.get("BENCH_MODE") == "int4" else "32"))
-            env["BENCH_STREAMS"] = str(max(16, cur - 8))
+                str(_default_streams(env.get("BENCH_MODE", "bf16")))))
+            if cur <= 8:
+                print("[bench] OOM at the 8-stream floor; giving up",
+                      file=sys.stderr, flush=True)
+                print(json.dumps({
+                    "metric": "aggregate_x_realtime_per_chip",
+                    "value": -1, "unit": "x_realtime", "vs_baseline": -1,
+                    "extra": {"error": "OOM at 8 streams"},
+                }))
+                return 1
+            env["BENCH_STREAMS"] = str(cur - 8 if cur > 16 else max(8, cur // 2))
             print(f"[bench] OOM at {cur} streams; retrying with "
                   f"{env['BENCH_STREAMS']}", file=sys.stderr, flush=True)
         print("[bench] attempt failed; cooling down 60s", file=sys.stderr,
@@ -206,8 +223,7 @@ def main():
     # differ from bf16 on near-tied tokens, so this is not the default
     # headline.
     mode = os.environ.get("BENCH_MODE", "bf16")
-    default_streams = "56" if mode == "int4" else "32"
-    n_streams = int(os.environ.get("BENCH_STREAMS", default_streams))
+    n_streams = int(os.environ.get("BENCH_STREAMS", _default_streams(mode)))
     seconds = float(os.environ.get("BENCH_SECONDS", "60"))
     burst = int(os.environ.get("BENCH_BURST", "64"))
 
@@ -244,7 +260,9 @@ def main():
 
     cfg = full_config()
     if mode == "int4":
-        cfg = cfg.replace(kv_dtype="float8_e4m3fn")
+        # decoder rings fp8; the encoder ring stays exact bf16 (enc_kv_dtype
+        # override — the int4 serving mode only degrades the decoder)
+        cfg = cfg.replace(kv_dtype="float8_e4m3fn", enc_kv_dtype="bfloat16")
     # big encode buckets cut per-call dispatch overhead (matters on remote
     # tunnels); enc ring must cover window 750 + the largest bucket
     # enc ring 1280 enables the 1024-frame fused-encode bucket (474x vs 326x
@@ -300,19 +318,46 @@ def main():
     def log(msg):
         print(f"  {msg}", file=sys.stderr, flush=True)
 
-    # BENCH_ENC_BATCH > 1 vmaps the fused encoder over k streams per
-    # dispatch.  Opt-in: the batched-encode program has wedged the remote
-    # compiler (>900 s, repeatably) on this tunnel, and the sequential
-    # encode is only ~1.7 s of a ~14 s run — reliability wins for the
-    # driver's unattended runs.
+    # Encode-phase mode: "bulk" (default) = the no-ring whole-clip banded
+    # encoder, groups of BENCH_ENC_GROUP streams per dispatch — no encoder
+    # ring cache resident at all (its 671 MB was part of the round-2
+    # full-pipeline OOM ceiling) and no [KH,T,cap] score HBM round trips.
+    # "inc" = the incremental ring path (sequential, one shared cache);
+    # BENCH_ENC_BATCH > 1 vmaps the incremental fused encoder (historical
+    # A/B; wedged the remote compiler in round 2 before the explicit-params
+    # fix, and its ring traffic scales with B).
+    enc_mode = os.environ.get("BENCH_ENC", "bulk")
+    enc_group = max(1, min(int(os.environ.get("BENCH_ENC_GROUP", "4")),
+                           n_streams))
     enc_batch = max(1, int(os.environ.get("BENCH_ENC_BATCH", "1")))
     enc_batch = min(enc_batch, n_streams)
+
+    set_rows = jax.jit(
+        lambda a, r, o: jax.lax.dynamic_update_slice(a, r, (o, 0, 0)),
+        donate_argnums=(0,),
+    )
 
     def run_once(label):
         """Full two-phase pipeline over all streams; returns wall + stats."""
         t_start = time.monotonic()
-        # Phase E: encode with one shared ring cache (epoch resets are free)
-        if enc_batch > 1:
+        # Phase E: encode
+        if enc_mode == "bulk":
+            n_rows = mel_one.shape[0] // 8
+            mel_dev = jnp.asarray(mel_one)
+            # rows land directly in one preallocated [B, n, dim] buffer
+            # (donated updates — no stack/concat transient doubling)
+            adapter = jnp.zeros(
+                (n_streams, n_rows, cfg.decoder.dim), jnp.float32
+            )
+            for g0 in range(0, n_streams, enc_group):
+                g = min(enc_group, n_streams - g0)
+                rows = engine.encode_clips_bulk(
+                    jnp.broadcast_to(mel_dev, (g,) + mel_dev.shape)
+                )
+                adapter = set_rows(adapter, rows, jnp.int32(g0))
+                log(f"{label} encoded streams {g0 + g}/{n_streams}")
+            del mel_dev
+        elif enc_batch > 1:
             enc_cache = sv.batched_enc_cache(cfg, enc_batch, engine.enc_kv_ring)
             adapter_rows = []
             for g in range(0, n_streams, enc_batch):
@@ -337,9 +382,12 @@ def main():
                 adapter_rows.append(rows)
                 log(f"{label} encoded stream {s + 1}/{n_streams}")
             adapter = jnp.stack(adapter_rows)
-        jax.block_until_ready(adapter)             # [B, n_audio, dim]
+        # sync via a D2H fetch (block_until_ready is unreliable for timing
+        # on the axon tunnel — CLAUDE.md)
+        _ = np.asarray(adapter[0, 0, :1])          # [B, n_audio, dim]
         t_enc = time.monotonic()
-        del enc_cache, adapter_rows
+        if enc_mode != "bulk":
+            del enc_cache, adapter_rows
 
         # Phase D: batched decode
         n_audio = adapter.shape[1]

@@ -106,6 +106,37 @@ def test_fp8_kv_cache_end_to_end(params, tiny_tokenizer):
     assert agree >= 0.5, (agree, ref, got)
 
 
+def test_enc_kv_dtype_override(params, tiny_tokenizer):
+    """enc_kv_dtype lets a serving mode drop the DECODER rings to fp8 while
+    the encoder ring stays exact (bench.py BENCH_MODE=int4 contract) — both
+    the engine's cache factory and the batched serving factory honor it."""
+    from conftest import make_audio
+    from voxtral_tpu.config import tiny_config
+    from voxtral_tpu.parallel import serving as sv
+    from voxtral_tpu.runtime.engine import VoxtralEngine
+    from voxtral_tpu.runtime.stream import transcribe_tokens
+
+    cfg = tiny_config().replace(
+        kv_dtype="float8_e4m3fn", enc_kv_dtype="float32"
+    )
+    eng = VoxtralEngine(
+        cfg, params, tokenizer=tiny_tokenizer, buckets=(16, 4, 1),
+        enc_kv_ring=64, dec_kv_ring=64,
+    )
+    assert eng.new_dec_cache().k.dtype == jnp.dtype("float8_e4m3fn")
+    assert eng.new_enc_cache().k.dtype == jnp.float32
+    assert sv.batched_dec_cache(cfg, 2, 64).k.dtype == jnp.dtype(
+        "float8_e4m3fn"
+    )
+    assert sv.batched_enc_cache(cfg, 2, 64).k.dtype == jnp.float32
+    # default: enc follows kv_dtype
+    cfg2 = tiny_config().replace(kv_dtype="float8_e4m3fn")
+    assert sv.batched_enc_cache(cfg2, 2, 64).k.dtype == jnp.dtype(
+        "float8_e4m3fn"
+    )
+    assert len(transcribe_tokens(eng, make_audio(1.6, seed=47))) > 0
+
+
 def test_int4_groupwise_mm_close():
     """Half-scaled int4 matmul (quant.mm nibble-packed path) tracks the f32
     matmul to within 4-bit rounding error."""

@@ -8,11 +8,18 @@
 # consolidated.safetensors + tekken.json.  Exits 0 with a SKIP message when
 # the model or ffmpeg is unavailable (this machine has neither; the suite is
 # wired up for judges/users who do).
+#
+# When token-ID/text fixtures exist under tests/fixtures/golden/ (generate
+# them once with tools/make_golden.py record / ingest), a third phase runs a
+# mechanical fixture comparison: exact token IDs vs this engine's recorded
+# run, word-level delta vs the C reference's ingested transcript.
 set -euo pipefail
 
+REPO="$(cd "$(dirname "$0")/.." && pwd)"
 MODEL_DIR="${VOXTRAL_MODEL_DIR:-}"
 SAMPLES="${VOXTRAL_SAMPLES_DIR:-/root/reference/samples}"
 OGG="$SAMPLES/antirez_speaking_italian_short.ogg"
+FIXDIR="$REPO/tests/fixtures/golden"
 
 if [[ -z "$MODEL_DIR" || ! -f "$MODEL_DIR/consolidated.safetensors" ]]; then
   echo "SKIP: set VOXTRAL_MODEL_DIR to a real Voxtral checkpoint" >&2
@@ -27,13 +34,21 @@ WAV=$(mktemp /tmp/voxtral_test_XXXX.wav)
 trap 'rm -f "$WAV"' EXIT
 ffmpeg -loglevel quiet -y -i "$OGG" -ar 16000 -ac 1 "$WAV"
 
-# Golden phrases spanning beginning/middle/end (reference runtest.sh:27-39)
+# Golden phrases spanning beginning/middle/end of the clip — the reference's
+# full list (runtest.sh:27-39), chosen there to avoid known near-tie flip
+# points (Farmer[,|.]  personalmente[ ma|,]  distribuzione[ così|,]).
 PHRASES=(
-  "registrare dei video"
-  "macchina fotografica"
-  "una cosa che funzionasse meglio"
-  "la prova definitiva"
-  "grazie"
+  "Forse qualcuno"
+  "arance rosse"
+  "Mr. Farmer"
+  "agricoltore siciliano"
+  "non conosco personalmente"
+  "consigliarvelo"
+  "pubblicizzare i suoi prodotti"
+  "alcuno sponsor"
+  "grande distribuzione"
+  "mercati ortofrutticoli"
+  "dove si trova"
 )
 
 check() {
@@ -55,5 +70,19 @@ echo "== streaming mode (--stdin -I 0.1, exercises ring compaction) ==" >&2
 OUT2=$(ffmpeg -loglevel quiet -i "$WAV" -f s16le -ar 16000 -ac 1 - |
   python -m voxtral_tpu.cli -d "$MODEL_DIR" --stdin -I 0.1 --silent)
 check "$OUT2" streaming
+
+if compgen -G "$FIXDIR/*.json" >/dev/null; then
+  echo "== fixture comparison (tools/make_golden.py check) ==" >&2
+  WAVDIR=$(mktemp -d /tmp/voxtral_fixwav_XXXX)
+  trap 'rm -rf "$WAV" "$WAVDIR"' EXIT
+  cp "$WAV" "$WAVDIR/antirez_speaking_italian_short.wav"
+  for f in "$SAMPLES"/*.wav; do [[ -f "$f" ]] && cp "$f" "$WAVDIR/"; done
+  python "$REPO/tools/make_golden.py" check -d "$MODEL_DIR" \
+    --fixtures "$FIXDIR" --wav-dir "$WAVDIR"
+else
+  echo "NOTE: no fixtures under $FIXDIR — record them once with" >&2
+  echo "  python tools/make_golden.py record -d \$VOXTRAL_MODEL_DIR <wav>" >&2
+  echo "  ./voxtral ... | python tools/make_golden.py ingest --name <clip>" >&2
+fi
 
 echo "OK: all golden phrases found in both modes"

@@ -144,6 +144,10 @@ class VoxtralConfig:
     param_dtype: str = "bfloat16"
     compute_dtype: str = "bfloat16"
     kv_dtype: str = "bfloat16"
+    # Encoder KV ring storage dtype; None = follow kv_dtype.  Set explicitly
+    # (e.g. "bfloat16") when the decoder rings drop to fp8 in a serving mode
+    # but the encoder must stay exact (bench.py BENCH_MODE=int4).
+    enc_kv_dtype: Optional[str] = None
 
     @property
     def prompt_len(self) -> int:
@@ -161,6 +165,10 @@ class VoxtralConfig:
     @property
     def kvdtype(self):
         return jnp.dtype(self.kv_dtype)
+
+    @property
+    def enc_kvdtype(self):
+        return jnp.dtype(self.enc_kv_dtype or self.kv_dtype)
 
     def replace(self, **kw) -> "VoxtralConfig":
         return dataclasses.replace(self, **kw)

@@ -129,7 +129,16 @@ def flash_bulk_attention_batched(
     g = h // kh
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    block = block or min(DEFAULT_BLOCK, cap)
+    if block is None:
+        # largest 128-multiple divisor of cap <= DEFAULT_BLOCK (caps are
+        # 128-aligned but not necessarily powers of two — same fallback as
+        # ops/flash_decode.py)
+        block = min(DEFAULT_BLOCK, cap)
+        while cap % block:
+            block -= 128
+            if block <= 0:
+                block = cap
+                break
     assert cap % block == 0, (cap, block)
     out_dtype = out_dtype or q.dtype
 

@@ -93,8 +93,8 @@ def batched_enc_cache(cfg: VoxtralConfig, batch: int, cap: Optional[int] = None,
     cap = cap or cfg.encoder.kv_ring
     e = cfg.encoder
     shape = (batch, e.n_layers, e.n_kv_heads, cap, e.head_dim)
-    z = (jnp.zeros(shape, cfg.kvdtype) if sharding is None
-         else jax.device_put(jnp.zeros(shape, cfg.kvdtype), sharding))
+    z = (jnp.zeros(shape, cfg.enc_kvdtype) if sharding is None
+         else jax.device_put(jnp.zeros(shape, cfg.enc_kvdtype), sharding))
     return EncKVCache(z, jnp.copy(z) if sharding is None else z + 0)
 
 

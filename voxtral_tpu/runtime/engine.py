@@ -157,7 +157,9 @@ class VoxtralEngine:
         return KVCache.create(self.cfg.decoder, self.cfg.kvdtype, self.dec_kv_ring)
 
     def new_enc_cache(self) -> EncKVCache:
-        return EncKVCache.create(self.cfg.encoder, self.cfg.kvdtype, self.enc_kv_ring)
+        return EncKVCache.create(
+            self.cfg.encoder, self.cfg.enc_kvdtype, self.enc_kv_ring
+        )
 
     # -- dispatch planning ---------------------------------------------------
     def fused_sizes(self, q_total: int) -> list[int]:
@@ -216,6 +218,29 @@ class VoxtralEngine:
         return fused_encode_chunk(
             self.params["encoder"], self.params["adapter"], self.cfg,
             jnp.asarray(mel), tails, cache, jnp.int32(enc_pos),
+        )
+
+    def encode_clip_bulk(self, mel) -> jax.Array:
+        """Whole-clip offline encode with NO ring state (the reference's
+        batch vox_encoder_forward, voxtral.h:309 / voxtral_encoder.c:135-312):
+        [Tm, 128] padded mel -> [Tm//8, 3072] f32 adapter rows.  ~5x the
+        incremental path offline — banded Pallas attention, no score HBM
+        round trips, no O(cap) ring rotates (models/bulk_encode.py)."""
+        from ..models.bulk_encode import bulk_encode_clip
+
+        return bulk_encode_clip(
+            self.params["encoder"], self.params["adapter"], self.cfg,
+            jnp.asarray(mel),
+        )
+
+    def encode_clips_bulk(self, mel_b) -> jax.Array:
+        """Batched bulk encode: [B, Tm, 128] -> [B, Tm//8, 3072] f32 in one
+        program (one banded-kernel launch for all streams)."""
+        from ..models.bulk_encode import bulk_encode_clips
+
+        return bulk_encode_clips(
+            self.params["encoder"], self.params["adapter"], self.cfg,
+            jnp.asarray(mel_b),
         )
 
     def prefill(self, embeds, cache: KVCache, pos0: int) -> KVCache:

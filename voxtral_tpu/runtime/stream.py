@@ -113,6 +113,11 @@ class VoxStream:
         self.prefill_ms = 0.0
         self.n_generated = 0
         self.n_text_tokens = 0
+        self.n_control_tokens = 0
+        self.n_invalid_tokens = 0
+        # optional raw token-id capture (fidelity fixtures, tools/make_golden)
+        self.record_ids = False
+        self.generated_ids: list[int] = []
 
     # ------------------------------------------------------------------
     # settings
@@ -228,6 +233,14 @@ class VoxStream:
                 # any unaligned tail (< 8 frames) waits for the next feed
                 self.encoder_ms += (time.monotonic() - t0) * 1000.0
                 _mon("▶")
+                if verbose >= 2:
+                    # per-chunk stat dump (reference voxtral.c:902-904)
+                    print(
+                        f"  Encoder inc: {q_total} mel -> {q_total // 2} conv"
+                        f" -> {q_total // 2} usable (total adapter: "
+                        f"{self.total_adapter}, residual: {rem})",
+                        file=sys.stderr,
+                    )
                 self.mel_ctx.discard_before(self.mel_cursor)
                 return
             # finishing with an unaligned tail: fall through to the exact
@@ -304,6 +317,8 @@ class VoxStream:
         for j, t in enumerate(tokens):
             t = int(t)
             self.n_generated += 1
+            if self.record_ids:
+                self.generated_ids.append(t)
             self.last_decode_sample = self.real_samples_fed
             cls = self._classify(t)
             if cls == TekkenTokenizer.TOK_TEXT:
@@ -317,7 +332,11 @@ class VoxStream:
                 self.text_since_restart = True
                 self.empty_restarts = 0
                 self.nontext_streak = 0
-            elif cls in (TekkenTokenizer.TOK_CONTROL, TekkenTokenizer.TOK_INVALID):
+            elif cls == TekkenTokenizer.TOK_CONTROL:
+                self.n_control_tokens += 1
+                self.nontext_streak += 1
+            elif cls == TekkenTokenizer.TOK_INVALID:
+                self.n_invalid_tokens += 1
                 self.nontext_streak += 1
             self.prev_token = t
             self.gen_pos += 1
@@ -379,7 +398,8 @@ class VoxStream:
             t0 = time.monotonic()
             gen_before = self.n_generated
             text_before = self.n_text_tokens
-            nontext_before = self.nontext_streak
+            control_before = self.n_control_tokens
+            invalid_before = self.n_invalid_tokens
             while self.consumed_adapter < self.total_adapter and not self.eos_seen:
                 avail = self.total_adapter - self.consumed_adapter
                 b = eng.burst_size(avail)
@@ -421,24 +441,30 @@ class VoxStream:
                 dec_ms = (time.monotonic() - t0) * 1000.0
                 self.decoder_ms += dec_ms
                 if monitor:
+                    # full reference symbol table (README.md:109-130,
+                    # voxtral.c:1099-1129): text ▪/▸, invalid-decode ✗/✘,
+                    # control-only ▫/▹, EOS-only ◦, severity ⚠/☠ appended
                     steps = self.n_generated - gen_before
                     slow = dec_ms / steps > 40
                     text_steps = self.n_text_tokens - text_before
-                    nontext_steps = self.nontext_streak - nontext_before
+                    control_steps = self.n_control_tokens - control_before
+                    invalid_steps = self.n_invalid_tokens - invalid_before
                     if text_steps > 0:
-                        sym = "▸" if slow else "▪"  # ▸ / ▪
-                    elif nontext_steps > 0:
-                        sym = "▹" if slow else "▫"  # ▹ / ▫
+                        sym = "▸" if slow else "▪"
+                    elif invalid_steps > 0:
+                        sym = "✘" if slow else "✗"
+                    elif control_steps > 0:
+                        sym = "▹" if slow else "▫"
                     elif self.eos_seen:
-                        sym = "◦"  # ◦ EOS-only
+                        sym = "◦"  # EOS-only
                     else:
                         sym = "▪"
                     sev = ""
-                    if text_steps == 0 and nontext_steps > 0:
+                    if text_steps == 0 and (control_steps > 0 or invalid_steps > 0):
                         if self.nontext_streak >= STREAM_MAX_NON_TEXT_STREAK - 8:
-                            sev = "☠"  # ☠
+                            sev = "☠"  # critical streak, restart imminent
                         elif self.nontext_streak >= STREAM_MAX_NON_TEXT_STREAK // 2:
-                            sev = "⚠"  # ⚠
+                            sev = "⚠"  # elevated streak
                     _mon(sym + sev)
 
         # adapter compaction (voxtral.c:718-731) is implicit: _take_adapter
