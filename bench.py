@@ -318,15 +318,17 @@ def main():
     def log(msg):
         print(f"  {msg}", file=sys.stderr, flush=True)
 
-    # Encode-phase mode: "bulk" (default) = the no-ring whole-clip banded
-    # encoder, groups of BENCH_ENC_GROUP streams per dispatch — no encoder
-    # ring cache resident at all (its 671 MB was part of the round-2
-    # full-pipeline OOM ceiling) and no [KH,T,cap] score HBM round trips.
-    # "inc" = the incremental ring path (sequential, one shared cache);
-    # BENCH_ENC_BATCH > 1 vmaps the incremental fused encoder (historical
-    # A/B; wedged the remote compiler in round 2 before the explicit-params
-    # fix, and its ring traffic scales with B).
-    enc_mode = os.environ.get("BENCH_ENC", "bulk")
+    # Encode-phase mode: "inc" (default) = the incremental fused ring path,
+    # sequential with ONE shared cache — measured fastest per clip (~107 ms,
+    # which round-3 probing showed is the axon toolchain's matmul floor;
+    # docs/PERF.md round 3).  Rows now land in ONE preallocated [B, n, dim]
+    # buffer via donated updates: the round-2 40-stream OOM was the
+    # adapter stack/concat transients (~0.8 GB), not steady residency.
+    # "bulk" = the no-ring banded whole-clip encoder in groups of
+    # BENCH_ENC_GROUP (fewer dispatches; currently ~2x slower per clip —
+    # kernel ledger in docs/PERF.md).  BENCH_ENC_BATCH > 1 vmaps the
+    # incremental encoder (historical A/B; ring traffic scales with B).
+    enc_mode = os.environ.get("BENCH_ENC", "inc")
     enc_group = max(1, min(int(os.environ.get("BENCH_ENC_GROUP", "4")),
                            n_streams))
     enc_batch = max(1, int(os.environ.get("BENCH_ENC_BATCH", "1")))
@@ -370,24 +372,29 @@ def main():
                 log(f"{label} encoded streams {min(g + enc_batch, n_streams)}"
                     f"/{n_streams}")
             adapter = jnp.concatenate(adapter_rows, axis=0)[:n_streams]
+            del enc_cache, adapter_rows
         else:
             enc_cache = engine.new_enc_cache()
-            adapter_rows = []
+            adapter = jnp.zeros(
+                (n_streams, mel_one.shape[0] // 8, cfg.decoder.dim),
+                jnp.float32,
+            )
             for s in range(n_streams):
                 rows, enc_cache = _encode_clip(
                     engine, mel_one, enc_cache,
                     progress=(lambda m, s=s: log(f"{label} stream {s} {m}"))
                     if s == 0 else None,
                 )
-                adapter_rows.append(rows)
+                # straight into the preallocated buffer (donated update) —
+                # no per-stream list + jnp.stack transient (the round-2
+                # 40-stream OOM)
+                adapter = set_rows(adapter, rows[None], jnp.int32(s))
                 log(f"{label} encoded stream {s + 1}/{n_streams}")
-            adapter = jnp.stack(adapter_rows)
+            del enc_cache
         # sync via a D2H fetch (block_until_ready is unreliable for timing
         # on the axon tunnel — CLAUDE.md)
         _ = np.asarray(adapter[0, 0, :1])          # [B, n_audio, dim]
         t_enc = time.monotonic()
-        if enc_mode != "bulk":
-            del enc_cache, adapter_rows
 
         # Phase D: batched decode
         n_audio = adapter.shape[1]
@@ -528,6 +535,65 @@ def main():
     p50 = float(np.percentile(lat_ms, 50)) if lat_ms else -1.0
     p90 = float(np.percentile(lat_ms, 90)) if lat_ms else -1.0
 
+    # --- phase 3: per-stream token latency UNDER LOAD (the number a serving
+    # deployment cares about: how long a 0.5 s feed takes to return its
+    # tokens while N-1 other live streams share the chip).  StreamPool in
+    # window-recompute encoder mode (no per-stream MHA-32 ring), continuous
+    # self-healing on, one slot churns (leave/join) mid-run.  Reference
+    # metric contract: per-stream step latency, voxtral.c:1306-1317. -------
+    load_n = int(os.environ.get(
+        "BENCH_LOAD_STREAMS", str(min(n_streams, 32))))
+    load_p50 = load_p90 = -1.0
+    if load_n > 1 and os.environ.get("BENCH_LOAD", "1") != "0":
+        from voxtral_tpu.parallel.scheduler import StreamPool
+
+        pool = StreamPool(engine, load_n, dec_kv_ring=1024,
+                          enc_mode="window")
+        slots = []
+        for k in range(load_n):
+            sidx = pool.add_stream()
+            pool.set_processing_interval(sidx, 0.5)
+            pool.set_continuous(sidx, True)
+            slots.append(sidx)
+        tick_ms: list[float] = []
+        tick_tokens: list[int] = []
+        n_ticks = int(os.environ.get("BENCH_LOAD_TICKS", "24"))
+        # round 0 absorbs the pool program compiles (encode lands at tick
+        # ~7 once the 312-mel gate fills, prefill at ~13, decode after);
+        # round 1 is the measured steady state
+        for rnd in range(2):
+            for ti in range(n_ticks):
+                if rnd and ti == n_ticks // 2:   # churn: a slot leaves+joins
+                    pool.close(slots[0])
+                    slots[0] = pool.add_stream()
+                    pool.set_processing_interval(slots[0], 0.5)
+                    pool.set_continuous(slots[0], True)
+                off = (ti * chunk_n) % (len(audio) - chunk_n)
+                gen_before = sum(s.n_generated for s in pool.slots)
+                t1 = time.monotonic()
+                for sidx in slots:
+                    pool.feed(sidx, audio[off : off + chunk_n])
+                pool.tick()
+                dt = (time.monotonic() - t1) * 1000.0
+                made = sum(s.n_generated for s in pool.slots) - gen_before
+                if rnd:
+                    tick_ms.append(dt)
+                    tick_tokens.append(made)
+                for sidx in slots:
+                    pool.get(sidx)
+                if ti % 8 == 0:
+                    log(f"load round {rnd} tick {ti}/{n_ticks} "
+                        f"{dt:.0f} ms ({made} tok)")
+        if tick_ms:
+            # a tick serves every stream's 0.5 s feed; each decoded token in
+            # it waited at most the tick wall — report the tick wall as the
+            # per-feed token latency under load
+            load_p50 = float(np.percentile(tick_ms, 50))
+            load_p90 = float(np.percentile(tick_ms, 90))
+            log(f"under-load p50 {load_p50:.1f} / p90 {load_p90:.1f} ms "
+                f"({load_n} streams, {np.mean(tick_tokens):.0f} tok/tick)")
+        del pool
+
     total_audio = n_streams * seconds
     x_rt = total_audio / wall
     step_ms = 1000.0 * dec_s / max(steps, 1)
@@ -542,6 +608,8 @@ def main():
         "tokens_per_s_aggregate": round(n_streams * steps / wall, 1),
         "p50_token_latency_ms_I0.5": round(p50, 1),
         "p90_token_latency_ms_I0.5": round(p90, 1),
+        f"p50_token_latency_ms_under_{load_n}stream_load": round(load_p50, 1),
+        f"p90_token_latency_ms_under_{load_n}stream_load": round(load_p90, 1),
         "int8_decoder_step_ms_batched": round(int8_step_ms, 3),
         "int8_streams": n_int8,
         "int8_aggregate_x_realtime_est": (

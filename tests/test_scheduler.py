@@ -1,4 +1,6 @@
-"""StreamPool dynamic serving: per-slot streams match single-stream output."""
+"""StreamPool v2: FULL transcript equality with VoxStream (per slot),
+restart-mid-pool, alt tokens, flush/finish, join/leave churn, and the
+window-recompute encoder mode."""
 
 import numpy as np
 import pytest
@@ -8,99 +10,209 @@ from voxtral_tpu.parallel.scheduler import StreamPool
 from voxtral_tpu.runtime.stream import VoxStream
 
 
-def _pieces(engine, token_ids):
-    tok = engine.tokenizer
-    return [tok.decode(t) for t in token_ids
-            if tok.classify(t) == tok.TOK_TEXT]
+def run_voxstream(engine, audio, chunk_s=0.5, interval=0.25,
+                  continuous=False, n_alt=0, cutoff=0.0):
+    s = VoxStream(engine)
+    s.set_processing_interval(interval)
+    s.set_continuous(continuous)
+    if n_alt:
+        s.set_alt(n_alt, cutoff)
+    step = int(chunk_s * 16000)
+    for i in range(0, len(audio), step):
+        s.feed(audio[i : i + step])
+    s.finish()
+    return s.get_alt() if n_alt else [(t,) for t in s.get()]
 
 
-@pytest.mark.slow
-def test_pool_matches_single_stream(engine):
-    pool = StreamPool(engine, n_slots=3, dec_kv_ring=64)
-    audio_a = make_audio(2.5, seed=41)
-    audio_b = make_audio(2.5, seed=42)
-    pad = np.zeros(17 * 1280, np.float32)
-
-    sa = pool.add_stream()
-    sb = pool.add_stream()
-    pool.slots[sa].continuous = False
-    pool.slots[sb].continuous = False
-
-    # interleaved feeding, slot b joins "later" in wall time but both are
-    # complete streams; tick processes in lockstep quanta
-    pool.feed(sa, audio_a)
-    pool.feed(sa, pad)
-    pool.tick()
-    pool.feed(sb, audio_b)
-    pool.feed(sb, pad)
-    for _ in range(12):
+def drive_pool(pool, audios, chunk_s=0.5, interval=0.25, continuous=False,
+               n_alt=0, cutoff=0.0):
+    """Feed each slot its own audio in lockstep chunks, tick after each
+    round, finish each slot."""
+    slots = []
+    for a in audios:
+        i = pool.add_stream()
+        pool.set_processing_interval(i, interval)
+        pool.set_continuous(i, continuous)
+        if n_alt:
+            pool.set_alt_cutoff(i, cutoff)
+        slots.append(i)
+    step = int(chunk_s * 16000)
+    n = max(len(a) for a in audios)
+    for off in range(0, n, step):
+        for i, a in zip(slots, audios):
+            if off < len(a):
+                pool.feed(i, a[off : off + step])
         pool.tick()
-    got_a = _pieces(engine, pool.get(sa))
-    got_b = _pieces(engine, pool.get(sb))
-
-    def single(audio):
-        s = VoxStream(engine)
-        s.set_processing_interval(0.1)
-        s.feed(audio)
-        s.feed(pad)
-        ref = s.get()
-        return ref
-
-    ref_a = single(audio_a)
-    ref_b = single(audio_b)
-
-    # the pool's 64-frame quanta leave a shorter tail unprocessed than the
-    # single stream's 10-frame interval: compare on the common prefix
-    # (the tiny random model may hit EOS early — both paths must agree there)
-    assert len(got_a) > 0 and len(got_b) > 0
-    n_a = min(len(got_a), len(ref_a))
-    n_b = min(len(got_b), len(ref_b))
-    assert n_a > 0 and n_b > 0
-    assert got_a[:n_a] == ref_a[:n_a]
-    assert got_b[:n_b] == ref_b[:n_b]
+    for i in slots:
+        pool.finish(i)
+    if n_alt:
+        return [pool.get_alt(i) for i in slots]
+    return [[(t,) for t in pool.get(i)] for i in slots]
 
 
-def test_pool_admission_and_close(engine):
-    pool = StreamPool(engine, n_slots=2, dec_kv_ring=64)
-    a = pool.add_stream()
-    b = pool.add_stream()
-    with pytest.raises(RuntimeError):
-        pool.add_stream()
-    pool.close(a)
-    c = pool.add_stream()
-    assert c == a
-    assert pool.slots[b].active
+def test_pool_full_equality(engine):
+    """Ring-mode pool == VoxStream, FULL transcript, two different streams
+    (one shorter — drains early and rides along)."""
+    a = make_audio(2.4, seed=1)
+    b = make_audio(1.7, seed=2)
+    ref_a = run_voxstream(engine, a)
+    ref_b = run_voxstream(engine, b)
+    pool = StreamPool(engine, 3, dec_kv_ring=64, enc_mode="ring")
+    got_a, got_b = drive_pool(pool, [a, b])
+    assert got_a == ref_a
+    assert got_b == ref_b
 
 
-@pytest.mark.slow
-def test_pool_join_leave_churn(engine):
-    """Slots joining and leaving mid-flight must not disturb live streams."""
-    pool = StreamPool(engine, n_slots=3, dec_kv_ring=64)
-    pad = np.zeros(17 * 1280, np.float32)
-    audio_a = make_audio(2.5, seed=81)
+def test_pool_restart_mid_pool(params, tiny_tokenizer):
+    """Continuous mode with a KV ring smaller than the window: streams hit
+    ring-overflow full resets (and, with random weights, nontext-streak and
+    EOS restarts) mid-pool; transcripts must STILL equal VoxStream's."""
+    from voxtral_tpu.config import tiny_config
+    from voxtral_tpu.runtime.engine import VoxtralEngine
 
-    sa = pool.add_stream()
-    pool.slots[sa].continuous = False
-    pool.feed(sa, audio_a)
-    pool.feed(sa, pad)
-    # churn: other slots join, receive audio, get closed, rejoin
-    sb = pool.add_stream()
-    pool.feed(sb, make_audio(1.0, seed=82))
-    for i in range(14):
-        pool.tick()
-        if i == 3:
-            pool.close(sb)
-        if i == 6:
-            sc = pool.add_stream()
-            pool.slots[sc].continuous = False
-            pool.feed(sc, make_audio(1.5, seed=83))
-            pool.feed(sc, pad)
-    got_a = _pieces(engine, pool.get(sa))
+    cfg = tiny_config(dec_window=96, dec_kv_ring=64)
+    eng = VoxtralEngine(
+        cfg, params, tokenizer=tiny_tokenizer, buckets=(16, 4, 1),
+        enc_kv_ring=64, dec_kv_ring=64,
+    )
+    a = make_audio(4.5, seed=7)
+    b = make_audio(4.5, seed=8)
+    ref_a = run_voxstream(eng, a, continuous=True)
+    ref_b = run_voxstream(eng, b, continuous=True)
+    pool = StreamPool(eng, 2, dec_kv_ring=64, enc_mode="ring")
+    got_a, got_b = drive_pool(pool, [a, b], continuous=True)
+    assert sum(s.n_restarts for s in pool.slots) > 0, "no restart exercised"
+    assert got_a == ref_a
+    assert got_b == ref_b
+
+
+def test_pool_alt_tokens(engine):
+    """Pool alt-token queues equal VoxStream's (n_alt=3, loose cutoff)."""
+    a = make_audio(2.0, seed=11)
+    ref = run_voxstream(engine, a, n_alt=3, cutoff=0.9)
+    pool = StreamPool(engine, 2, dec_kv_ring=64, enc_mode="ring", n_alt=3)
+    (got,) = drive_pool(pool, [a], n_alt=3, cutoff=0.9)
+    assert got == ref
+
+
+def test_pool_flush_midstream(engine):
+    """flush() forces a full pass and leaves the slot open for more audio;
+    the final transcript equals VoxStream with the same flush point."""
+    a = make_audio(1.2, seed=13)
+    b = make_audio(1.0, seed=14)
 
     s = VoxStream(engine)
-    s.set_processing_interval(0.1)
-    s.feed(audio_a)
-    s.feed(pad)
-    ref_a = s.get()
-    n = min(len(got_a), len(ref_a))
-    assert n > 0 and got_a[:n] == ref_a[:n]
+    s.set_processing_interval(0.25)
+    s.feed(a)
+    s.flush()
+    mid_ref = len(s.get_alt(0))  # don't drain; just mark the point
+    s.feed(b)
+    s.finish()
+    ref = [(t,) for t in s.get()]
+
+    pool = StreamPool(engine, 2, dec_kv_ring=64, enc_mode="ring")
+    i = pool.add_stream()
+    pool.set_processing_interval(i, 0.25)
+    pool.feed(i, a)
+    pool.tick()
+    pool.flush(i)
+    assert not pool.slots[i].finished
+    pool.feed(i, b)
+    pool.tick()
+    pool.finish(i)
+    got = [(t,) for t in pool.get(i)]
+    assert got == ref
+
+
+def test_pool_join_leave_churn(engine):
+    """Slots join at different times and leave; each transcript equals its
+    own VoxStream run."""
+    a = make_audio(2.2, seed=21)
+    b = make_audio(1.6, seed=22)
+    ref_a = run_voxstream(engine, a)
+    ref_b = run_voxstream(engine, b)
+
+    pool = StreamPool(engine, 2, dec_kv_ring=64, enc_mode="ring")
+    ia = pool.add_stream()
+    pool.set_processing_interval(ia, 0.25)
+    step = 8000
+    # stream a alone for 1s
+    for off in range(0, 16000, step):
+        pool.feed(ia, a[off : off + step])
+        pool.tick()
+    # b joins
+    ib = pool.add_stream()
+    pool.set_processing_interval(ib, 0.25)
+    off_b = 0
+    for off in range(16000, len(a), step):
+        pool.feed(ia, a[off : off + step])
+        if off_b < len(b):
+            pool.feed(ib, b[off_b : off_b + step])
+            off_b += step
+        pool.tick()
+    pool.finish(ia)
+    got_a = [(t,) for t in pool.get(ia)]
+    pool.close(ia)
+    # a's slot is reusable while b continues
+    ic = pool.add_stream()
+    assert ic == ia
+    pool.close(ic)
+    while off_b < len(b):
+        pool.feed(ib, b[off_b : off_b + step])
+        pool.tick()
+        off_b += step
+    pool.finish(ib)
+    got_b = [(t,) for t in pool.get(ib)]
+    assert got_a == ref_a
+    assert got_b == ref_b
+
+
+def test_pool_finish_bypasses_interval_gate(engine):
+    """A finish() with less pending mel than the processing interval must
+    still flush everything (VoxStream's finished bypass, stream.py:190)."""
+    a = make_audio(2.3, seed=41)
+    ref = run_voxstream(engine, a, chunk_s=2.3, interval=2.0)
+    pool = StreamPool(engine, 1, dec_kv_ring=64, enc_mode="ring")
+    i = pool.add_stream()
+    pool.set_processing_interval(i, 2.0)
+    pool.feed(i, a[:32000])
+    pool.tick()
+    pool.feed(i, a[32000:])   # 0.3 s < the 2.0 s interval
+    pool.tick()
+    pool.finish(i)
+    got = [(t,) for t in pool.get(i)]
+    assert got == ref
+
+
+def test_pool_window_mode_tracks_ring(engine):
+    """Window-recompute encoder mode (the high-density serving path) broadly
+    tracks ring mode — different reduction order can flip near-ties on
+    random tiny weights, so this is an agreement bound, not equality."""
+    a = make_audio(2.0, seed=31)
+    # continuous: restarts fire on random weights, covering window-mode
+    # slot resets (n_ctx writability, xwin masking)
+    pool_r = StreamPool(engine, 2, dec_kv_ring=64, enc_mode="ring")
+    (ref,) = drive_pool(pool_r, [a], continuous=True)
+    pool_w = StreamPool(engine, 2, dec_kv_ring=64, enc_mode="window")
+    (got,) = drive_pool(pool_w, [a], continuous=True)
+    assert len(got) > 0
+    m = min(len(ref), len(got))
+    agree = sum(x == y for x, y in zip(ref[:m], got[:m])) / max(m, 1)
+    assert agree >= 0.6, (agree, ref, got)
+
+
+def test_pool_no_decode_watchdog(engine):
+    """Cause-4 watchdog: a continuous slot fed >20 s of audio that never
+    decodes (queue starved by a tiny row ring is hard to fake, so starve by
+    silence: random weights DO decode — instead verify the counter wiring
+    by feeding with decoding disabled via an inactive decoder)."""
+    from voxtral_tpu.config import STREAM_MAX_NO_DECODE_SAMPLES
+
+    pool = StreamPool(engine, 1, dec_kv_ring=64, enc_mode="ring")
+    i = pool.add_stream()
+    pool.set_continuous(i, True)
+    s = pool.slots[i]
+    s.real_samples_fed = STREAM_MAX_NO_DECODE_SAMPLES + 1
+    s.last_decode_sample = 0
+    pool._maybe_restart(i)
+    assert pool.slots[i].n_restarts == 1

@@ -25,14 +25,20 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _sync1(out):
+    # one-element D2H: a whole-leaf fetch ships it at ~0.05 GB/s (CLAUDE.md)
+    leaf = jax.tree.leaves(out)[0]
+    np.asarray(leaf[(0,) * leaf.ndim] if leaf.ndim else leaf)
+
+
 def timeit(fn, iters=10):
     fn()  # compile + first-exec (lazy server compile on the tunnel)
-    np.asarray(jax.tree.leaves(fn())[0])  # sync via D2H (CLAUDE.md rule)
+    _sync1(fn())
     t0 = time.monotonic()
     out = None
     for _ in range(iters):
         out = fn()
-    np.asarray(jax.tree.leaves(out)[0])
+    _sync1(out)
     return (time.monotonic() - t0) / iters
 
 

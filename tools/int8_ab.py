@@ -9,6 +9,8 @@ the reference's dtype-ladder discipline (SPEED.md's fp16-vs-f32 checks).
 
 Usage: python tools/int8_ab.py [model_dir] [wav_path]
 Set AB_BITS=4 to A/B the int4 rung instead of int8.
+Set AB_KV=float8_e4m3fn to A/B the fp8 DECODER-KV rung instead (weights
+stay exact bf16 in both engines — isolates the KV-storage term).
 Prints the token counts, the number of differing positions, and the first
 few diffs; exit 0 always (the delta is a measurement, not a pass/fail).
 """
@@ -62,9 +64,16 @@ def main():
     log(f"bf16: {len(toks16)} text tokens (+{time.monotonic() - t0:.0f}s)")
     del eng
 
-    qmode = "int4" if os.environ.get("AB_BITS") == "4" else "int8"
-    eng8 = VoxtralEngine(cfg, params, tokenizer=tok, quantize=qmode, **kw)
-    del params  # free the bf16 copies of the quantized matrices
+    ab_kv = os.environ.get("AB_KV")
+    if ab_kv:
+        qmode = f"kv:{ab_kv}"
+        cfg_kv = cfg.replace(kv_dtype=ab_kv, enc_kv_dtype=cfg.kv_dtype)
+        eng8 = VoxtralEngine(cfg_kv, params, tokenizer=tok, **kw)
+        del params
+    else:
+        qmode = "int4" if os.environ.get("AB_BITS") == "4" else "int8"
+        eng8 = VoxtralEngine(cfg, params, tokenizer=tok, quantize=qmode, **kw)
+        del params  # free the bf16 copies of the quantized matrices
     t0 = time.monotonic()
     toks8 = transcribe_tokens(eng8, samples)
     log(f"{qmode}: {len(toks8)} text tokens (+{time.monotonic() - t0:.0f}s)")

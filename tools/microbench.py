@@ -21,12 +21,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _sync(out):
-    """Force completion via a D2H fetch of the first array leaf —
-    block_until_ready alone has proven unreliable on remote tunnels."""
+    """Force completion via a D2H fetch of ONE ELEMENT of the first array
+    leaf — block_until_ready alone has proven unreliable on remote tunnels,
+    and fetching a whole leaf ships it at ~0.05 GB/s (round-3 lesson:
+    un-sliced fetches inflated short measurements by 50-500 ms)."""
     import jax
 
-    leaves = jax.tree.leaves(out)
-    np.asarray(leaves[0])
+    leaf = jax.tree.leaves(out)[0]
+    np.asarray(leaf[(0,) * leaf.ndim] if leaf.ndim else leaf)
     return out
 
 

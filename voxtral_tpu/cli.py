@@ -61,6 +61,12 @@ def main(argv=None):
     p.add_argument("--silent", action="store_true")
     p.add_argument("--profile", metavar="DIR", default=None,
                    help="write a jax.profiler trace of the run to DIR")
+    p.add_argument("--bulk-encode", action="store_true",
+                   help="offline -i only: whole-clip no-ring batch encoder "
+                        "(vox_encoder_forward analog) — fastest file "
+                        "transcription, skips streaming warm-up; transcripts "
+                        "can differ from the streaming path on near-tied "
+                        "tokens")
     p.add_argument("--jacobi", action="store_true",
                    help="Jacobi fixpoint burst decoding: measured 1.3-15x "
                         "faster single-stream (docs/PERF.md); greedy-exact "
@@ -156,8 +162,28 @@ def main(argv=None):
     if args.delay is not None:
         engine.set_delay(args.delay)
     if v:
-        print(f"Model loaded in {time.monotonic() - t0:.1f}s; compiling "
-              f"kernels...", file=sys.stderr)
+        print(f"Model loaded in {time.monotonic() - t0:.1f}s", file=sys.stderr)
+
+    if args.input and args.bulk_encode:
+        # offline batch path: one bulk-encode program + decode bursts; no
+        # streaming warm-up needed (a single run compiles each program once
+        # on first use anyway)
+        from .runtime.offline import transcribe_offline
+
+        t0 = time.monotonic()
+        text = transcribe_offline(engine, samples)
+        sys.stdout.write(text + "\n")
+        if v:
+            dur = len(samples) / SAMPLE_RATE
+            wall = time.monotonic() - t0
+            print(f"Audio: {len(samples)} samples ({dur:.1f} seconds)",
+                  file=sys.stderr)
+            print(f"Offline transcription: {wall * 1000:.0f} ms "
+                  f"({dur / wall:.1f}x realtime)", file=sys.stderr)
+        return 0
+
+    if v:
+        print("Compiling kernels...", file=sys.stderr)
         t0 = time.monotonic()
     engine.warmup(
         n_alt=4 if args.alt is not None else 0,

@@ -407,21 +407,25 @@ class VoxStream:
                     eng.dec_kv_ring < self.cfg.decoder.window
                     and self.dec_pos + b > eng.dec_kv_ring
                 ):
-                    if self.continuous:
-                        # Stop the burst BEFORE the write would cross the
-                        # ring cap; _maybe_restart below performs the
-                        # KV-overflow full reset (voxtral.c:1146-1148).  A
-                        # large backlog (e.g. -I 5) can otherwise cross the
-                        # cap mid-burst between restart checks.
+                    if not self.continuous:
+                        raise RuntimeError(
+                            f"decoder KV ring ({eng.dec_kv_ring}) smaller "
+                            f"than the attention window would lose context "
+                            f"at position {self.dec_pos + b}; size the ring "
+                            f"to the clip or enable continuous mode (which "
+                            f"restarts at {STREAM_MAX_DECODE_KV})"
+                        )
+                    # Clamp the burst to land EXACTLY on the ring cap, then
+                    # let _maybe_restart perform the KV-overflow full reset
+                    # (voxtral.c:1146-1148).  Clamping (rather than breaking
+                    # before the crossing burst) makes the restart position a
+                    # pure function of the cap — independent of the backlog's
+                    # burst partition — which StreamPool's uniform bursts
+                    # rely on for transcript equality.
+                    b = eng.dec_kv_ring - self.dec_pos
+                    if b <= 0:
                         self._ring_overflow = True
                         break
-                    raise RuntimeError(
-                        f"decoder KV ring ({eng.dec_kv_ring}) smaller than the "
-                        f"attention window would lose context at position "
-                        f"{self.dec_pos + b}; size the ring to the clip or "
-                        f"enable continuous mode (which restarts at "
-                        f"{STREAM_MAX_DECODE_KV})"
-                    )
                 chunk = self._take_adapter(b)
                 tokens, alt_ids, alt_probs, best_probs, self.dec_cache = (
                     eng.decode_burst(
