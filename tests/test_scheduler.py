@@ -201,6 +201,29 @@ def test_pool_window_mode_tracks_ring(engine):
     assert agree >= 0.6, (agree, ref, got)
 
 
+def test_pool_cache_overrides(engine):
+    """Per-pool KV geometry/storage overrides (high-density live configs):
+    fp8 ring caches + a tight encoder cap still produce transcripts that
+    broadly track the exact pool."""
+    import jax.numpy as jnp
+
+    a = make_audio(1.8, seed=51)
+    pool = StreamPool(engine, 2, dec_kv_ring=64, enc_mode="ring")
+    (ref,) = drive_pool(pool, [a])
+    pool8 = StreamPool(
+        engine, 2, dec_kv_ring=64, enc_mode="ring", enc_kv_ring=48,
+        enc_kv_dtype="float8_e4m3fn", dec_kv_dtype="float8_e4m3fn",
+    )
+    assert pool8.enc_cache.k.dtype == jnp.dtype("float8_e4m3fn")
+    assert pool8.dec_cache.k.dtype == jnp.dtype("float8_e4m3fn")
+    assert pool8.enc_cache.k.shape[3] == 48
+    (got,) = drive_pool(pool8, [a])
+    assert len(got) > 0
+    m = min(len(ref), len(got))
+    agree = sum(x == y for x, y in zip(ref[:m], got[:m])) / max(m, 1)
+    assert agree >= 0.5, (agree, ref, got)
+
+
 def test_pool_no_decode_watchdog(engine):
     """Cause-4 watchdog: a continuous slot fed >20 s of audio that never
     decodes (queue starved by a tiny row ring is hard to fake, so starve by

@@ -206,7 +206,17 @@ class StreamPool:
 
     def __init__(self, engine: VoxtralEngine, n_slots: int,
                  dec_kv_ring: int = 2048, row_ring: int = 256,
-                 enc_mode: str = "auto", n_alt: int = 0):
+                 enc_mode: str = "auto", n_alt: int = 0,
+                 enc_kv_ring: Optional[int] = None,
+                 enc_kv_dtype: Optional[str] = None,
+                 dec_kv_dtype: Optional[str] = None):
+        """enc_kv_ring/enc_kv_dtype/dec_kv_dtype override the engine's cache
+        geometry/storage for THIS pool only — e.g. a high-density live pool
+        can run ring-mode encoder caches in fp8 at a tight 896 cap (the
+        MHA-32 ring is the serving-density wall: 470 MB/stream bf16 at 896,
+        117 MB in fp8).  Dtype flows from the cache arrays, so model
+        programs need no changes; transcripts can flip near-ties vs the
+        engine default (the documented dtype-ladder trade)."""
         assert engine.fused_streaming, "StreamPool requires a fused engine"
         if engine.tokenizer is None:
             raise ValueError("engine has no tokenizer")
@@ -224,6 +234,12 @@ class StreamPool:
             enc_mode = "ring" if n_slots <= 8 else "window"
         assert enc_mode in ("ring", "window"), enc_mode
         self.enc_mode = enc_mode
+        self.enc_ring = enc_kv_ring or engine.enc_kv_ring
+        assert self.enc_ring >= cfg.encoder.window + 4, self.enc_ring
+        cache_cfg = cfg.replace(
+            kv_dtype=dec_kv_dtype or cfg.kv_dtype,
+            enc_kv_dtype=enc_kv_dtype or cfg.enc_kv_dtype,
+        )
 
         self.tails = ConvTails(
             jnp.zeros((n_slots, 2, cfg.encoder.n_mel), jnp.float32),
@@ -231,7 +247,7 @@ class StreamPool:
         )
         if enc_mode == "ring":
             self.enc_cache = sv.batched_enc_cache(
-                cfg, n_slots, engine.enc_kv_ring
+                cache_cfg, n_slots, self.enc_ring
             )
             self.xwin = None
         else:
@@ -244,7 +260,7 @@ class StreamPool:
         self.row_ring = jnp.zeros(
             (n_slots, row_ring, cfg.decoder.dim), jnp.float32
         )
-        self.dec_cache = sv.batched_dec_cache(cfg, n_slots, dec_kv_ring)
+        self.dec_cache = sv.batched_dec_cache(cache_cfg, n_slots, dec_kv_ring)
         self.slots = [_Slot() for _ in range(n_slots)]
         self.encoder_ms = 0.0
         self.decoder_ms = 0.0
@@ -379,7 +395,7 @@ class StreamPool:
 
     def _enc_cap(self) -> int:
         if self.enc_mode == "ring":
-            cap = 2 * (self.eng.enc_kv_ring - self.cfg.encoder.window)
+            cap = 2 * (self.enc_ring - self.cfg.encoder.window)
             return cap - cap % 8
         return 1024  # window mode: bound per-tick chunk for compile reuse
 
@@ -478,12 +494,14 @@ class StreamPool:
         s.decoder_started = True
 
     def _burst_len(self, avail: int) -> int:
-        """Largest bucket <= avail.  Unlike VoxStream (exact-size bursts for
-        minimal dispatch count), the pool quantizes to buckets: burst
-        partition cannot change transcripts (chunking invariance; the
-        ring-overflow restart point is cap-exact via the clamped burst), and
-        a pool would otherwise compile one decode program per distinct
-        backlog length."""
+        """Exact size below 32 (one dispatch drains the steady-state tick
+        backlog — VoxStream's burst_size policy; at a fixed processing
+        interval the distinct-compile set stays small), buckets above.
+        Burst partition cannot change transcripts: chunking invariance, and
+        the ring-overflow restart point is cap-exact via the clamped
+        burst."""
+        if avail < 32:
+            return avail
         return next(x for x in self.eng.buckets if x <= avail)
 
     def _tick_decoder(self):
