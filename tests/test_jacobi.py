@@ -91,6 +91,53 @@ def test_jacobi_continues_across_windows(engine, cfg):
     np.testing.assert_array_equal(np.asarray(toks_j), np.asarray(toks_s))
 
 
+def test_auto_mode_selects_by_burst_length(cfg, params, tiny_tokenizer):
+    """decode_mode='auto': window-sized-or-larger bursts run the Jacobi
+    program (jacobi_iters grows), shorter bursts run sequential — and both
+    match a pure-sequential engine exactly."""
+    from voxtral_tpu.runtime.engine import VoxtralEngine
+
+    rng = np.random.default_rng(17)
+    kw = dict(tokenizer=tiny_tokenizer, buckets=(16, 4, 1),
+              enc_kv_ring=64, dec_kv_ring=64, jacobi_window=8)
+    eng_a = VoxtralEngine(cfg, params, decode_mode="auto", **kw)
+    eng_s = VoxtralEngine(cfg, params, decode_mode="sequential", **kw)
+
+    short = (rng.standard_normal((4, cfg.decoder.dim)) * 0.5).astype(np.float32)
+    ca, cs = eng_a.new_dec_cache(), eng_s.new_dec_cache()
+    toks_a, _, _, _, ca = eng_a.decode_burst(short, TOKEN_STREAMING_PAD, ca, 0)
+    toks_s, _, _, _, cs = eng_s.decode_burst(short, TOKEN_STREAMING_PAD, cs, 0)
+    np.testing.assert_array_equal(np.asarray(toks_a), np.asarray(toks_s))
+    assert len(eng_a.jacobi_iters) == 0          # short burst -> sequential
+
+    long = (rng.standard_normal((16, cfg.decoder.dim)) * 0.5).astype(np.float32)
+    prev = int(np.asarray(toks_a)[-1])
+    toks_a, _, _, _, ca = eng_a.decode_burst(long, prev, ca, 4)
+    toks_s, _, _, _, cs = eng_s.decode_burst(long, prev, cs, 4)
+    np.testing.assert_array_equal(np.asarray(toks_a), np.asarray(toks_s))
+    assert len(eng_a.jacobi_iters) == 1          # >= window -> Jacobi
+
+
+def test_offline_auto_equals_sequential(cfg, params, tiny_tokenizer):
+    """The offline bulk path under the auto policy transcribes identically
+    to a forced-sequential engine (the flag-flip coverage for the CLI
+    default)."""
+    from conftest import make_audio
+    from voxtral_tpu.runtime.engine import VoxtralEngine
+    from voxtral_tpu.runtime.offline import transcribe_offline_ids
+
+    audio = make_audio(1.6, seed=41)
+    kw = dict(tokenizer=tiny_tokenizer, buckets=(16, 4, 1),
+              enc_kv_ring=64, dec_kv_ring=128, jacobi_window=8)
+    ids_s = transcribe_offline_ids(
+        VoxtralEngine(cfg, params, decode_mode="sequential", **kw), audio
+    )
+    eng_a = VoxtralEngine(cfg, params, decode_mode="auto", **kw)
+    ids_a = transcribe_offline_ids(eng_a, audio)
+    assert ids_a == ids_s
+    assert len(eng_a.jacobi_iters) > 0
+
+
 def test_stream_with_jacobi_engine(engine, cfg, params, tiny_tokenizer):
     """Full streaming transcription with a Jacobi engine == sequential."""
     from conftest import make_audio

@@ -68,9 +68,15 @@ def main(argv=None):
                         "can differ from the streaming path on near-tied "
                         "tokens")
     p.add_argument("--jacobi", action="store_true",
-                   help="Jacobi fixpoint burst decoding: measured 1.3-15x "
-                        "faster single-stream (docs/PERF.md); greedy-exact "
-                        "up to rare bf16 near-tie argmax flips")
+                   help="force Jacobi fixpoint decoding for ALL bursts: "
+                        "measured 1.3-15x faster single-stream "
+                        "(docs/PERF.md); greedy-exact up to rare bf16 "
+                        "near-tie argmax flips.  Default is AUTO: Jacobi "
+                        "for window-sized offline/backlog bursts, "
+                        "sequential for short streaming bursts")
+    p.add_argument("--no-jacobi", action="store_true",
+                   help="force sequential decoding for all bursts "
+                        "(disables the auto Jacobi policy)")
     p.add_argument("--int8", action="store_true",
                    help="int8 weight-only decoder quantization: ~2x decode "
                         "throughput, but transcripts may differ from bf16 on "
@@ -156,7 +162,8 @@ def main(argv=None):
     engine = VoxtralEngine(
         cfg, params, tokenizer=tok, dec_kv_ring=dec_ring,
         buckets=(64, 16, 4, 1),
-        decode_mode="jacobi" if args.jacobi else "sequential",
+        decode_mode=("jacobi" if args.jacobi
+                     else "sequential" if args.no_jacobi else "auto"),
         quantize="int4" if args.int4 else args.int8,
     )
     if args.delay is not None:

@@ -76,7 +76,7 @@ class VoxtralEngine:
         buckets: Sequence[int] = DEFAULT_BUCKETS,
         dec_kv_ring: Optional[int] = None,
         enc_kv_ring: Optional[int] = None,
-        decode_mode: str = "sequential",   # or "jacobi" (models/jacobi.py)
+        decode_mode: str = "sequential",   # "jacobi" | "auto" (models/jacobi.py)
         jacobi_window: int = 64,
         fused_streaming: bool = True,      # one-call audio side for aligned chunks
         quantize: bool | str = False,      # int8/int4 weight-only decoder
@@ -94,7 +94,7 @@ class VoxtralEngine:
         self.quantized = quantize
         self.params = params
         self.tokenizer = tokenizer
-        assert decode_mode in ("sequential", "jacobi"), decode_mode
+        assert decode_mode in ("sequential", "jacobi", "auto"), decode_mode
         self.decode_mode = decode_mode
         self.fused_streaming = fused_streaming
         # fused buckets are MEL frames (encoder chunk = bucket/2 positions);
@@ -260,7 +260,17 @@ class VoxtralEngine:
 
     def decode_burst(self, adapter_chunk, prev_token: int, cache: KVCache,
                      pos0: int, n_alt: int = 0):
-        if self.decode_mode == "jacobi":
+        # "auto": Jacobi only for window-sized-or-larger bursts (offline /
+        # deep-backlog decode, where it wins >=1.33x even at the adversarial
+        # settle rate — tools/jacobi_settle.py); short steady-state streaming
+        # bursts keep the sequential program.  Both are greedy-exact, so the
+        # per-burst switch cannot change transcripts beyond the documented
+        # bf16 near-tie caveat.
+        mode = self.decode_mode
+        if mode == "auto":
+            mode = ("jacobi" if len(adapter_chunk) >= self.jacobi_window
+                    else "sequential")
+        if mode == "jacobi":
             from ..models.jacobi import decode_burst_jacobi
 
             t = len(adapter_chunk)
