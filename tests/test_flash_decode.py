@@ -104,6 +104,34 @@ def test_flash_batched_matches_per_stream():
         np.testing.assert_allclose(got[b], ref, atol=1e-5, rtol=1e-5)
 
 
+def test_flash_flat_matches_grid_kernel():
+    """The single-instance flat-pipeline kernel == the (B,)-grid kernel for
+    ragged per-stream positions (incl. ring-wrap and near-empty fills)."""
+    from voxtral_tpu.ops.flash_decode import flash_decode_attention_batched
+
+    rng = np.random.default_rng(23)
+    bsz, n_layers, kh, g, d = 5, 2, 2, 4, 8
+    cap, window, block = 64, 48, 16
+    h = kh * g
+    ks = jnp.asarray(
+        rng.standard_normal((bsz, n_layers, kh, cap, d)), jnp.float32
+    )
+    vs = jnp.asarray(
+        rng.standard_normal((bsz, n_layers, kh, cap, d)), jnp.float32
+    )
+    qs = jnp.asarray(rng.standard_normal((bsz, h, d)), jnp.float32)
+    pos = jnp.asarray([0, 5, 47, 63, 200], jnp.int32)
+
+    kw = dict(window=window, block=block, interpret=True)
+    got = np.asarray(flash_decode_attention_batched(
+        qs, ks, vs, jnp.int32(0), pos, flat=True, **kw
+    ))
+    ref = np.asarray(flash_decode_attention_batched(
+        qs, ks, vs, jnp.int32(0), pos, flat=False, **kw
+    ))
+    np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
+
+
 def test_flash_vmap_routes_to_batched():
     """jax.vmap over the single-stream entry must work (custom_vmap rule)."""
     rng = np.random.default_rng(13)

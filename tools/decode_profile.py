@@ -30,6 +30,7 @@ from __future__ import annotations
 import os
 import sys
 import time
+from functools import partial
 
 import numpy as np
 
@@ -134,12 +135,13 @@ def main():
 
     blk = int(os.environ["DP_BLOCK"]) if os.environ.get("DP_BLOCK") else None
 
-    @jax.jit
-    def attn26(k_all, v_all, q, pos):
+    @partial(jax.jit, static_argnames=("flat",))
+    def attn26(k_all, v_all, q, pos, flat):
         def body(li, acc):
             out = flash_decode_attention_batched(
                 q, k_all, v_all, jnp.int32(li), pos,
                 window=d.window, block=blk, out_dtype=jnp.bfloat16,
+                flat=flat,
             )
             return acc + out.astype(jnp.float32)
         return jax.lax.fori_loop(
@@ -147,12 +149,15 @@ def main():
             jnp.zeros((batch, d.n_heads, d.head_dim), jnp.float32),
         )
 
-    t_a = timeit(lambda: attn26(cache.k, cache.v, q, pos))
     valid = min(pos_v + 1, d.window, ring)
     kv_gib = 2 * batch * d.n_layers * d.n_kv_heads * valid * d.head_dim * \
         cache.k.dtype.itemsize / gib
-    print(f"attn/fl : {1000*t_a:7.2f} ms   (26 flash launches; ~{kv_gib:.2f} "
-          f"GiB live KV -> {kv_gib/t_a:.0f} GiB/s)")
+    for flat in (False, True):
+        t_a = timeit(lambda: attn26(cache.k, cache.v, q, pos, flat))
+        tag = "flat" if flat else "grid"
+        print(f"attn/{tag}: {1000*t_a:7.2f} ms   (26 flash launches; "
+              f"~{kv_gib:.2f} GiB live KV -> {kv_gib/t_a:.0f} GiB/s)",
+              flush=True)
 
     # same term through the XLA ring-attention path (what auto picks at
     # cap <= FLASH_RING_THRESHOLD): reads the WHOLE ring every layer
@@ -186,10 +191,12 @@ def main():
     print(f"attn/xla: {1000*t_ax:7.2f} ms   (whole-ring reads; {full_gib:.2f} "
           f"GiB -> {full_gib/t_ax:.0f} GiB/s)")
 
-    # --- term: 26 batched row writes ------------------------------------
+    # --- term: 26 batched row writes (donated carry — an undonated copy
+    # of the 3 GB cache next to the attn probes OOMs a 16 GB chip) --------
     state = {"k": cache.k, "v": cache.v}
+    del cache
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0, 1))
     def write26(k_all, v_all, krow, pos):
         def body(li, carry):
             k_all, v_all = carry
@@ -205,7 +212,9 @@ def main():
         return state["k"]
 
     t_rw = timeit(wfn)
-    print(f"rowwrite: {1000*t_rw:7.2f} ms   (26 batched Pallas row writes)")
+    print(f"rowwrite: {1000*t_rw:7.2f} ms   (26 batched Pallas row writes)",
+          flush=True)
+    state.clear()
 
     # --- term: matmul+norm chain, attention stubbed ---------------------
     cdtype = cfg.cdtype

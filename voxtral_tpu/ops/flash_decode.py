@@ -121,6 +121,114 @@ def _kernel(info_ref, q_ref, k_hbm, v_hbm, o_ref, k_buf, v_buf, sem,
     o_ref[0] = acc / jnp.maximum(l, 1e-30)
 
 
+def _kernel_flat(info_ref, total_ref, qg_ref, k_hbm, v_hbm, o_ref,
+                 k_buf, v_buf, sem, *, cap: int, window: int, block: int,
+                 kh: int, g: int, d: int, bsz: int):
+    """Single-instance variant: grid=(1,), ONE software-pipelined DMA stream
+    walking every (stream, live-block) pair b-major.
+
+    The (B,)-grid kernel pays per-instance entry/exit + first-DMA latency
+    for every stream x layer (832 instances/step at B=32), which capped it
+    at ~196 GiB/s on the live KV (decode_profile, round 3).  Here the
+    double-buffered pipeline never drains at stream boundaries: iteration t
+    computes (b, j) while the DMA for the NEXT pair is in flight, so the
+    whole layer's KV read sustains DMA throughput.  Accumulators live in
+    the loop carry and reset at each stream's last block; outputs store to
+    the [B, KH, G, D] VMEM block at the stream's dynamic row."""
+    n_blocks = cap // block
+    total = total_ref[0]
+
+    def dmas(slot, b, j):
+        bidx = jax.lax.rem(info_ref[b, 1] + j, n_blocks)
+        start = pl.multiple_of(bidx * block, block)
+        li = info_ref[b, 3]
+        return (
+            pltpu.make_async_copy(
+                k_hbm.at[b, li, :, pl.ds(start, block), :], k_buf.at[slot],
+                sem.at[slot, 0],
+            ),
+            pltpu.make_async_copy(
+                v_hbm.at[b, li, :, pl.ds(start, block), :], v_buf.at[slot],
+                sem.at[slot, 1],
+            ),
+            bidx,
+        )
+
+    def nxt(b, j):
+        wrap = (j + 1) >= info_ref[b, 2]
+        return (
+            jnp.where(wrap, jnp.minimum(b + 1, bsz - 1), b),
+            jnp.where(wrap, 0, j + 1),
+        )
+
+    kd0, vd0, _ = dmas(0, 0, 0)
+    kd0.start()
+    vd0.start()
+
+    def body(t, carry):
+        b, j, m, l, acc = carry
+        bn, jn = nxt(b, j)
+        slot = jax.lax.rem(t, 2)
+
+        @pl.when(t + 1 < total)
+        def _():
+            kd, vd, _ = dmas(1 - slot, bn, jn)
+            kd.start()
+            vd.start()
+
+        kd, vd, bidx = dmas(slot, b, j)
+        kd.wait()
+        vd.wait()
+
+        pos = info_ref[b, 0]
+        q = qg_ref[b].astype(jnp.float32) * (1.0 / math.sqrt(d))
+        kb = k_buf[slot].astype(jnp.float32)
+        vb = v_buf[slot].astype(jnp.float32)
+        scores = jax.lax.dot_general(
+            q, kb, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                              # [KH, G, block]
+        slots_i = bidx * block + jax.lax.broadcasted_iota(
+            jnp.int32, (1, 1, block), 2
+        )
+        logical = pos - jax.lax.rem(pos - slots_i + cap * 2, cap)
+        valid = (logical >= 0) & (logical > pos - window) & (logical <= pos)
+        scores = jnp.where(valid, scores, -jnp.inf)
+
+        m_blk = jnp.max(scores, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m, m_blk)
+        m_safe = jnp.where(jnp.isfinite(m_new), m_new, 0.0)
+        p = jnp.exp(scores - m_safe)
+        p = jnp.where(valid, p, 0.0)
+        scale_prev = jnp.exp(jnp.where(jnp.isfinite(m), m - m_safe, -jnp.inf))
+        scale_prev = jnp.where(jnp.isfinite(m), scale_prev, 0.0)
+        l_new = l * scale_prev + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = acc * scale_prev + jax.lax.dot_general(
+            p, vb, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+
+        last = (j + 1) >= info_ref[b, 2]
+
+        @pl.when(last)
+        def _():
+            o_ref[pl.ds(b, 1)] = (
+                acc_new / jnp.maximum(l_new, 1e-30)
+            )[None]
+
+        m2 = jnp.where(last, -jnp.inf, m_new)
+        l2 = jnp.where(last, 0.0, l_new)
+        acc2 = jnp.where(last, 0.0, acc_new)
+        return bn, jn, m2, l2, acc2
+
+    m0 = jnp.full((kh, g, 1), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((kh, g, 1), jnp.float32)
+    acc0 = jnp.zeros((kh, g, d), jnp.float32)
+    jax.lax.fori_loop(
+        0, total, body, (jnp.int32(0), jnp.int32(0), m0, l0, acc0)
+    )
+
+
 def _info(pos, li, cap: int, window: int, block: int):
     """Per-stream [4] int32: (pos, first ring block, n blocks, layer)."""
     n_blocks = cap // block
@@ -134,7 +242,8 @@ def _info(pos, li, cap: int, window: int, block: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("window", "block", "interpret", "out_dtype")
+    jax.jit,
+    static_argnames=("window", "block", "interpret", "out_dtype", "flat"),
 )
 def flash_decode_attention_batched(
     q: jax.Array,          # [B, H, D]
@@ -147,6 +256,7 @@ def flash_decode_attention_batched(
     block: int | None = None,
     interpret: bool | None = None,
     out_dtype=None,
+    flat: bool | None = None,
 ):
     bsz, h, d = q.shape
     _, _, kh, cap, _ = k_all.shape
@@ -164,9 +274,45 @@ def flash_decode_attention_batched(
                 break
     assert cap % block == 0, (cap, block)
     out_dtype = out_dtype or q.dtype
+    if flat is None:
+        # measured (docs/PERF.md round 3): the flat pipeline wins at
+        # serving batch sizes; the per-stream grid only at B=1
+        flat = bsz > 1
 
     info = _info(pos, li, cap, window, block)       # [B, 4]
     qg = q.reshape(bsz, kh, g, d)
+
+    if flat:
+        total = jnp.sum(info[:, 2]).reshape(1)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(1,),
+            in_specs=[
+                pl.BlockSpec((bsz, kh, g, d),
+                             lambda i, info, total: (0, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec((bsz, kh, g, d),
+                                   lambda i, info, total: (0, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2, kh, block, d), k_all.dtype),
+                pltpu.VMEM((2, kh, block, d), v_all.dtype),
+                pltpu.SemaphoreType.DMA((2, 2)),
+            ],
+        )
+        out = pl.pallas_call(
+            functools.partial(
+                _kernel_flat, cap=cap, window=window, block=block,
+                kh=kh, g=g, d=d, bsz=bsz,
+            ),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((bsz, kh, g, d), jnp.float32),
+            interpret=interpret,
+        )(info, total, qg, k_all, v_all)
+        return out.reshape(bsz, h, d).astype(out_dtype)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
