@@ -102,8 +102,14 @@ def main():
                 eng.params, encoder=False, bits=bits
             )["decoder"]
             jax.block_until_ready(dparams)
+        # "auto" resolves to the fused flash path inside bdecode_burst for
+        # batched bursts; "xla" pins the whole-ring XLA attention for A/Bs
+        cfg_xla = cfg.replace(
+            decoder=dataclasses.replace(cfg.decoder, attn_impl="xla")
+        )
         variants = (
-            ("xla", cfg),
+            ("auto", cfg),
+            ("xla", cfg_xla),
             ("flash", cfg_flash),
         )
         for name, c in variants:

@@ -32,7 +32,7 @@ from ..config import (
     VoxtralConfig,
 )
 from . import quant
-from ..ops.flash_decode import flash_decode_attention
+from ..ops.flash_decode import flash_decode_write_attention
 from ..ops.norms import gelu, rms_norm, silu
 from ..ops.ring import ring_attention, ring_rows_write, ring_write
 from ..ops.rope import apply_rope_interleaved, rope_cos_sin
@@ -117,24 +117,28 @@ def _layer_step(
     use_flash = cfg.attn_impl == "flash" or (
         cfg.attn_impl == "auto" and cap > FLASH_RING_THRESHOLD
     )
-    # the flash kernel computes on bf16/f32 blocks; byte-wide (fp8) KV
-    # storage decodes through the XLA path, whose reads fuse the widening
-    use_flash = use_flash and k_all.dtype.itemsize >= 2
+    # the flash kernel DMAs blocks in the ring's storage dtype and widens
+    # in VMEM — fp8 rings stream at HALF the HBM bytes of bf16 (the whole
+    # point of kv_dtype="float8_e4m3fn"); only non-float storage (e.g. a
+    # future packed-int4 ring) falls back to the XLA fused-widening path
+    use_flash = use_flash and jnp.issubdtype(k_all.dtype, jnp.floating)
     if t == 1:
         # single-token fast path: write the one new row straight into the
         # stacked cache — no whole-ring gather/scatter round trip.  Under
         # stream-vmap this routes to one Pallas in-place DMA launch for all
         # streams (ops/ring.py ring_rows_write).
-        k_all, v_all = ring_rows_write(k_all, v_all, k[0], v[0], li, pos0)
         if use_flash:
-            # the kernel slices layer li inside its DMAs; pre-slicing here
-            # would materialize a full per-layer ring copy as the pallas
-            # operand (ops/flash_decode.py docstring)
-            attn = flash_decode_attention(
-                q[0].astype(cdtype), k_all, v_all, li, pos0,
+            # fused write+attention: ONE Pallas launch per layer under
+            # stream-vmap (the kernel slices layer li inside its DMAs;
+            # pre-slicing would materialize a per-layer ring copy as the
+            # pallas operand — ops/flash_decode.py docstring)
+            attn, k_all, v_all = flash_decode_write_attention(
+                q[0].astype(cdtype), k_all, v_all, k[0], v[0], li, pos0,
                 window=cfg.window, out_dtype=cdtype,
-            )[None].reshape(t, q_dim)
+            )
+            attn = attn[None].reshape(t, q_dim)
         else:
+            k_all, v_all = ring_rows_write(k_all, v_all, k[0], v[0], li, pos0)
             k_ring = jax.lax.dynamic_index_in_dim(
                 k_all, li, axis=0, keepdims=False
             )

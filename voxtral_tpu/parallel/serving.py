@@ -78,11 +78,10 @@ def bdecode_burst(dec_params, cfg: VoxtralConfig, chunks, prev, cache: KVCache,
     the flat single-instance Pallas kernel reads only the live KV window
     (1.59 vs 2.84 GiB whole-ring at B=32 x ring 896 mid-clip) and measured
     13.78 vs 14.92 ms/step on chip (decode_profile + microbench MB_ATTN
-    A/B, round 3).  B=1 and fp8-KV rings keep the decoder's own auto rule
-    (whole-ring XLA reads fuse the byte-widening; flash computes on
-    bf16/f32 blocks only)."""
+    A/B, round 3).  fp8 rings flash too (half the KV bytes; the kernel
+    widens blocks in VMEM); B=1 keeps the decoder's own auto rule."""
     if (cfg.decoder.attn_impl == "auto" and cache.k.shape[0] > 1
-            and cache.k.dtype.itemsize >= 2):
+            and jnp.issubdtype(cache.k.dtype, jnp.floating)):
         cfg = cfg.replace(
             decoder=dataclasses.replace(cfg.decoder, attn_impl="flash")
         )
