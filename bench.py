@@ -320,6 +320,19 @@ def main():
     def log(msg):
         print(f"  {msg}", file=sys.stderr, flush=True)
 
+    def logmem(tag):
+        """Device HBM ledger at phase boundaries (when the backend exposes
+        it) — the 36-vs-40-stream OOM ceiling sits ~3 GB below the naive
+        weights+rings+rows sum, so the real bytes_in_use is the datum."""
+        try:
+            st = dev.memory_stats()
+            gib = 1 << 30
+            log(f"mem[{tag}]: in_use {st['bytes_in_use'] / gib:.2f} GiB, "
+                f"peak {st.get('peak_bytes_in_use', 0) / gib:.2f} GiB, "
+                f"limit {st.get('bytes_limit', 0) / gib:.2f} GiB")
+        except Exception:
+            pass
+
     # Encode-phase mode: "inc" (default) = the incremental fused ring path,
     # sequential with ONE shared cache — measured fastest per clip (~107 ms,
     # which round-3 probing showed is the axon toolchain's matmul floor;
@@ -397,6 +410,7 @@ def main():
         # on the axon tunnel — CLAUDE.md)
         _ = np.asarray(adapter[0, 0, :1])          # [B, n_audio, dim]
         t_enc = time.monotonic()
+        logmem(f"{label} post-encode")
 
         # Phase D: batched decode
         n_audio = adapter.shape[1]
@@ -435,6 +449,7 @@ def main():
             if steps % 256 == 0 or pos >= n_audio:
                 log(f"{label} decode {pos}/{n_audio}")
         wall = time.monotonic() - t_start
+        logmem(f"{label} post-decode")
         del dec_cache
         return wall, t_enc - t_start, wall - (t_enc - t_start), steps, tokens
 
@@ -520,6 +535,43 @@ def main():
         int4_step_ms = 1000.0 * (time.monotonic() - t0) / (4 * 64)
         log(f"int4+fp8kv step {int4_step_ms:.2f} ms ({n_int4} streams)")
         del state, dec_cache, qdec4
+
+    # --- EXACT bf16 weights + fp8 KV rings: the reference's own Metal
+    # default is a degraded-KV cache (fp16, VOX_DECODER_KV_FP16 default-on —
+    # voxtral.c:166-167), so this rung is its direct analog one step down
+    # the ladder.  fp8 rings are half-size (47.7 MB/stream at cap 896), so
+    # capacity roughly doubles vs the all-bf16 headline; weights stay exact.
+    # Step time only, like the other extras. -------------------------------
+    fp8_step_ms = -1.0
+    n_fp8 = int(os.environ.get("BENCH_FP8_STREAMS", "64"))
+    if mode == "bf16" and os.environ.get("BENCH_FP8", "1") != "0":
+        cfg8 = cfg.replace(kv_dtype="float8_e4m3fn")
+        dec_cache = sv.batched_dec_cache(cfg8, n_fp8, engine.dec_kv_ring)
+        chunk8 = jnp.zeros((n_fp8, 64, cfg.decoder.dim), jnp.float32)
+        prev_f8 = jnp.full((n_fp8,), 32, jnp.int32)
+        state = {"c": dec_cache}
+
+        def f8_step():
+            toks, _, _, _, state["c"] = sv.bdecode_burst(
+                params["decoder"], cfg8, chunk8, prev_f8, state["c"],
+                jnp.full((n_fp8,), 500, jnp.int32), engine.ada(),
+            )
+            return toks
+
+        try:
+            _ = np.asarray(f8_step())
+            t0 = time.monotonic()
+            for _ in range(4):
+                toks_f8 = f8_step()
+            _ = np.asarray(toks_f8)
+            fp8_step_ms = 1000.0 * (time.monotonic() - t0) / (4 * 64)
+            log(f"bf16w+fp8kv step {fp8_step_ms:.2f} ms ({n_fp8} streams)")
+        except Exception as e:  # noqa: BLE001 — an extra must not kill the run
+            if "RESOURCE_EXHAUSTED" not in str(e) and \
+                    "Ran out of memory" not in str(e):
+                raise
+            log(f"bf16w+fp8kv extra OOM at {n_fp8} streams — skipped")
+        del state, dec_cache
 
     # --- phase 2: single-stream p50 token latency at -I 0.5 ----------------
     from voxtral_tpu.runtime.stream import VoxStream
@@ -678,6 +730,11 @@ def main():
         "int4_fp8kv_decoder_step_ms_batched": round(int4_step_ms, 3),
         "int4_fp8kv_aggregate_x_realtime_est": (
             round(n_int4 * 80.0 / int4_step_ms, 1) if int4_step_ms > 0 else -1
+        ),
+        "bf16w_fp8kv_decoder_step_ms_batched": round(fp8_step_ms, 3),
+        "bf16w_fp8kv_streams": n_fp8,
+        "bf16w_fp8kv_aggregate_x_realtime_est": (
+            round(n_fp8 * 80.0 / fp8_step_ms, 1) if fp8_step_ms > 0 else -1
         ),
         "device": str(dev),
         "weights": "real" if model_dir else "random",

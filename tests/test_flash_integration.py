@@ -61,3 +61,47 @@ def test_flash_batched_serving_matches_xla(tiny_tokenizer):
         jnp.zeros((cfg.decoder.n_layers, cfg.decoder.dim), jnp.float32),
     )
     np.testing.assert_array_equal(np.asarray(toks_f), np.asarray(toks_x))
+
+
+def test_auto_routing_fp8_rings_never_flash(tiny_tokenizer, monkeypatch):
+    """attn_impl="auto" must route fp8 rings to the XLA attention path and
+    bf16 rings (batched burst) to the flash kernel.  The fp8 flash path
+    measured ~3x SLOWER than XLA at realistic fill (31.2 vs 10.2 ms at
+    B=56 x ring 896 — docs/PERF.md round 3): the kernel's in-VMEM fp8->f32
+    widening runs on the VPU at element rate, while XLA fuses the widening
+    into its attention loop.  Trace-time sentinel: the flash entry is
+    monkeypatched to record invocation."""
+    import jax.numpy as jnp
+
+    from voxtral_tpu.models import decoder as dmod
+    from voxtral_tpu.ops.flash_decode import flash_decode_write_attention
+    from voxtral_tpu.parallel import serving as sv
+
+    cfg = tiny_config()
+    params = init_params(cfg, seed=0)
+    rng = np.random.default_rng(5)
+    B, T = 2, 3  # unique shapes so jit re-traces inside this test
+    chunks = jnp.asarray(
+        (rng.standard_normal((B, T, cfg.decoder.dim)) * 0.5).astype(np.float32)
+    )
+    prev = jnp.full((B,), 32, jnp.int32)
+    pos = jnp.zeros((B,), jnp.int32)
+    ada = jnp.zeros((cfg.decoder.n_layers, cfg.decoder.dim), jnp.float32)
+
+    hits = []
+
+    def sentinel(*a, **kw):
+        hits.append(1)
+        return flash_decode_write_attention(*a, **kw)
+
+    monkeypatch.setattr(dmod, "flash_decode_write_attention", sentinel)
+
+    assert cfg.decoder.attn_impl == "auto"
+    cfg8 = cfg.replace(kv_dtype="float8_e4m3fn")
+    c8 = sv.batched_dec_cache(cfg8, B, 32)
+    sv.bdecode_burst(params["decoder"], cfg8, chunks, prev, c8, pos, ada)
+    assert not hits, "fp8 rings must not take the flash-decode path"
+
+    c16 = sv.batched_dec_cache(cfg, B, 32)
+    sv.bdecode_burst(params["decoder"], cfg, chunks, prev, c16, pos, ada)
+    assert hits, "batched bf16 bursts must take the flash-decode path"

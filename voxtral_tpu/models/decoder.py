@@ -117,11 +117,17 @@ def _layer_step(
     use_flash = cfg.attn_impl == "flash" or (
         cfg.attn_impl == "auto" and cap > FLASH_RING_THRESHOLD
     )
-    # the flash kernel DMAs blocks in the ring's storage dtype and widens
-    # in VMEM — fp8 rings stream at HALF the HBM bytes of bf16 (the whole
-    # point of kv_dtype="float8_e4m3fn"); only non-float storage (e.g. a
-    # future packed-int4 ring) falls back to the XLA fused-widening path
-    use_flash = use_flash and jnp.issubdtype(k_all.dtype, jnp.floating)
+    # flash requires a >=2-byte float ring (bf16/f32).  fp8 rings fall
+    # back to XLA: the kernel's in-VMEM fp8->f32 widening runs on the VPU
+    # at element rate and measured ~3x SLOWER than XLA's fused widening at
+    # realistic fill (31.2 vs 10.2 ms at B=56 x ring 896, pos ~806 —
+    # docs/PERF.md round 3); non-float storage (e.g. a future packed-int4
+    # ring) likewise.
+    use_flash = (
+        use_flash
+        and jnp.issubdtype(k_all.dtype, jnp.floating)
+        and k_all.dtype.itemsize >= 2
+    )
     if t == 1:
         # single-token fast path: write the one new row straight into the
         # stacked cache — no whole-ring gather/scatter round trip.  Under

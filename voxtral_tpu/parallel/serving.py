@@ -74,14 +74,19 @@ def bdecode_burst(dec_params, cfg: VoxtralConfig, chunks, prev, cache: KVCache,
                   pos0, ada, n_alt: int = 0):
     """pos0: [B] per-slot decode positions.
 
-    Batched bursts force the flash-decode path regardless of ring size:
-    the flat single-instance Pallas kernel reads only the live KV window
-    (1.59 vs 2.84 GiB whole-ring at B=32 x ring 896 mid-clip) and measured
-    13.78 vs 14.92 ms/step on chip (decode_profile + microbench MB_ATTN
-    A/B, round 3).  fp8 rings flash too (half the KV bytes; the kernel
-    widens blocks in VMEM); B=1 keeps the decoder's own auto rule."""
+    Batched bursts force the flash-decode path for bf16 rings regardless
+    of ring size: the flat single-instance Pallas kernel reads only the
+    live KV window (1.59 vs 2.84 GiB whole-ring at B=32 x ring 896
+    mid-clip) and measured 13.78 vs 14.92 ms/step on chip (decode_profile
+    + microbench MB_ATTN A/B, round 3).  fp8 rings do NOT flash: the
+    in-VMEM fp8->f32 widening runs on the VPU at element rate and
+    measured 31.2 ms (flat) / 29.3 (grid) vs 10.2 XLA at B=56 x ring 896
+    mid-clip (fill pos ~806; an earlier near-empty-ring reading hid
+    this).  XLA fuses the widening into its attention loop and keeps the
+    halved HBM bytes win.  B=1 keeps the decoder's own auto rule."""
     if (cfg.decoder.attn_impl == "auto" and cache.k.shape[0] > 1
-            and jnp.issubdtype(cache.k.dtype, jnp.floating)):
+            and jnp.issubdtype(cache.k.dtype, jnp.floating)
+            and cache.k.dtype.itemsize >= 2):
         cfg = cfg.replace(
             decoder=dataclasses.replace(cfg.decoder, attn_impl="flash")
         )
