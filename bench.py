@@ -488,7 +488,9 @@ def main():
         def q_step():
             toks, _, _, _, state["c"] = sv.bdecode_burst(
                 qdec, cfg, chunk, prev8, state["c"],
-                jnp.full((n_int8,), 100, jnp.int32), engine.ada(),
+                # mid-clip fill: the flash path's read traffic scales with
+                # live window, so a near-empty ring flatters the estimate
+                jnp.full((n_int8,), 500, jnp.int32), engine.ada(),
             )
             return toks
 
@@ -523,7 +525,8 @@ def main():
         def q4_step():
             toks, _, _, _, state["c"] = sv.bdecode_burst(
                 qdec4, cfg4, chunk4, prev4, state["c"],
-                jnp.full((n_int4,), 100, jnp.int32), engine.ada(),
+                # mid-clip fill (see the int8 extra note)
+                jnp.full((n_int4,), 500, jnp.int32), engine.ada(),
             )
             return toks
 
