@@ -86,6 +86,100 @@ def test_pool_restart_mid_pool(params, tiny_tokenizer):
     assert got_b == ref_b
 
 
+def test_pool_parked_slot_near_ring_cap(params, tiny_tokenizer):
+    """A slot that PARKS (backlog 0) near the ring cap while another slot
+    keeps bursting must not have its ride-along garbage writes wrap past the
+    cap onto real low-position rows — the resumed (pre-overflow) decodes
+    attend those slots.  The burst length is clamped to every rider's
+    headroom (scheduler._tick_decoder); transcripts must equal VoxStream
+    exactly through the pause/resume and the eventual overflow restart."""
+    from voxtral_tpu.config import tiny_config
+    from voxtral_tpu.runtime.engine import VoxtralEngine
+
+    cfg = tiny_config(dec_window=96, dec_kv_ring=64)
+    eng = VoxtralEngine(
+        cfg, params, tokenizer=tiny_tokenizer, buckets=(16, 4, 1),
+        enc_kv_ring=64, dec_kv_ring=64,
+    )
+    a = make_audio(3.6, seed=61)
+    b = make_audio(10.0, seed=62)
+
+    pool = StreamPool(eng, 2, dec_kv_ring=64, enc_mode="ring")
+    ia = pool.add_stream()
+    ib = pool.add_stream()
+    for i in (ia, ib):
+        pool.set_processing_interval(i, 0.25)
+        pool.set_continuous(i, True)
+    step = 8000
+    b_feeds = []   # b's exact feed schedule, for the schedule-matched ref
+
+    def feed_b(chunk):
+        b_feeds.append(chunk)
+        pool.feed(ib, chunk)
+
+    # phase 1: feed both for 2.0 s — both reach dec_pos near cap 64
+    for off in range(0, 32000, step):
+        pool.feed(ia, a[off : off + step])
+        feed_b(b[off : off + step])
+        pool.tick()
+    # phase 2a: a pauses (parks near the cap); b alone crosses the cap and
+    # takes the overflow FULL reset (dec_pos back to 0 => big headroom)
+    off_b = 32000
+    while pool.slots[ib].n_restarts == 0:
+        feed_b(b[off_b : off_b + step])
+        pool.tick()
+        off_b += step
+    parked = pool.slots[ia].dec_pos
+    headroom_a = pool.dec_ring - parked
+    assert 0 < headroom_a < 16, (parked, "a must park just below the cap")
+    # a's low ring slots hold REAL rows (positions 0..15) that its resumed
+    # pre-overflow decodes will attend; only a wrapped parked write can
+    # touch them (a's parked ride-alongs land at parked..parked+t-1)
+    low_k_before = np.asarray(pool.dec_cache.k[ia][:, :, :16])
+    # phase 2b: one BIG feed gives restarted b a bucket-sized burst backlog
+    # (t=16 > a's parked headroom — the wrap hazard)
+    big = 4 * 16000
+    feed_b(b[off_b : off_b + big])
+    pool.tick()
+    off_b += big
+    np.testing.assert_array_equal(
+        np.asarray(pool.dec_cache.k[ia][:, :, :16]), low_k_before,
+        err_msg="parked ride-along write wrapped past the ring cap onto "
+                "real low-position rows",
+    )
+    # phase 3: a resumes (its pre-overflow decodes attend low ring slots),
+    # then both finish
+    for off in range(32000, len(a), step):
+        pool.feed(ia, a[off : off + step])
+        if off_b < len(b):
+            feed_b(b[off_b : off_b + step])
+            off_b += step
+        pool.tick()
+    pool.finish(ia)
+    while off_b < len(b):
+        feed_b(b[off_b : off_b + step])
+        pool.tick()
+        off_b += step
+    pool.finish(ib)
+    got_a = [(t,) for t in pool.get(ia)]
+    got_b = [(t,) for t in pool.get(ib)]
+
+    # refs: a's schedule is uniform (the pause only delays feeds, which
+    # cannot move its cap-exact restart point); b restarts repeatedly with
+    # ring 64 over 10 s, and restart drops depend on the feed partition, so
+    # its ref must REPLAY the pool's exact schedule.
+    ref_a = run_voxstream(eng, a, continuous=True)
+    sb = VoxStream(eng)
+    sb.set_processing_interval(0.25)
+    sb.set_continuous(True)
+    for chunk in b_feeds:
+        sb.feed(chunk)
+    sb.finish()
+    ref_b = [(t,) for t in sb.get()]
+    assert got_a == ref_a
+    assert got_b == ref_b
+
+
 def test_pool_alt_tokens(engine):
     """Pool alt-token queues equal VoxStream's (n_alt=3, loose cutoff)."""
     a = make_audio(2.0, seed=11)

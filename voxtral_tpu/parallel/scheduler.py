@@ -515,6 +515,7 @@ class StreamPool:
         ring_limited = self.dec_ring < cfg.decoder.window
         while True:
             cands = []
+            headrooms = []   # ring headroom of EVERY rider (see below)
             for i, s in enumerate(self.slots):
                 ok = (s.active and s.decoder_started and not s.eos_seen
                       and not s.ring_overflow and s.backlog > 0)
@@ -531,15 +532,26 @@ class StreamPool:
                         s.ring_overflow = True
                         ok = False
                 cands.append(ok)
+                # Parked slots ride along and write garbage K/V at their own
+                # dec_pos..dec_pos+t-1.  Below the cap that is invisible
+                # (logical < 0 until rewritten), but a write that WRAPS past
+                # the cap lands on slots holding REAL rows at low positions
+                # — which the slot's later (pre-overflow) decodes attend.
+                # So t must respect every rider's headroom, not just the
+                # candidates'.  Zero-headroom riders are exempt: their only
+                # future is the KV-overflow FULL reset (which re-prefills
+                # from 0 and makes the whole ring's stale content
+                # unreadable), so their wrap writes are harmless — and
+                # exempting them avoids deadlocking t at 0.
+                if ring_limited and s.active and s.decoder_started:
+                    hr = self.dec_ring - s.dec_pos
+                    if hr > 0:
+                        headrooms.append(hr)
             if not any(cands):
                 break
             q = min(
                 min(s.backlog for s, c in zip(self.slots, cands) if c),
-                *(
-                    [self.dec_ring - s.dec_pos
-                     for s, c in zip(self.slots, cands) if c]
-                    if ring_limited else [1 << 30]
-                ),
+                *(headrooms if ring_limited else [1 << 30]),
             )
             t = self._burst_len(q)
 
