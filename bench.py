@@ -55,7 +55,34 @@ def _supervised() -> int:
     stall = float(os.environ.get("BENCH_STALL_S", "900"))
     attempts = int(os.environ.get("BENCH_ATTEMPTS", "5"))
     env = dict(os.environ, BENCH_INNER="1")
+
+    def device_up() -> bool:
+        """Cheap tunnel probe: a tiny matmul + one-element D2H in a child
+        with a short timeout.  The axon tunnel goes down for an hour+ at a
+        time (round 3); without this, every attempt burns a full `stall`
+        window wedged at device discovery."""
+        try:
+            return subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp, numpy as np;"
+                 "x = jnp.ones((128, 128));"
+                 "np.asarray((x @ x)[0, :1])"],
+                timeout=120, capture_output=True,
+            ).returncode == 0
+        except subprocess.TimeoutExpired:
+            return False
+
     for a in range(1, attempts + 1):
+        waited = 0.0
+        while not device_up():
+            print("[bench] device probe failed (tunnel down?); waiting 120s",
+                  file=sys.stderr, flush=True)
+            time.sleep(120)
+            waited += 120
+            if waited > float(os.environ.get("BENCH_TUNNEL_WAIT_S", "3600")):
+                print("[bench] tunnel still down; trying anyway",
+                      file=sys.stderr, flush=True)
+                break
         print(f"[bench] attempt {a}/{attempts}", file=sys.stderr, flush=True)
         proc = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__)], env=env,
