@@ -22,7 +22,6 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 assert jax.default_backend() == "cpu"
 
-import base64  # noqa: E402
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

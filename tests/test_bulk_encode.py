@@ -7,7 +7,6 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from voxtral_tpu.config import tiny_config
 from voxtral_tpu.models.bulk_encode import bulk_encode_clip, bulk_encode_clips
 from voxtral_tpu.ops.banded_encode import banded_attention_batched
 

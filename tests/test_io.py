@@ -4,7 +4,6 @@ import base64
 import json
 
 import numpy as np
-import pytest
 
 from voxtral_tpu.config import tiny_config
 from voxtral_tpu.io.safetensors import SafetensorsFile, write_safetensors

@@ -7,7 +7,6 @@ driver's dry run in-process.  The reference has no distributed mode
 """
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -21,7 +20,6 @@ from voxtral_tpu.parallel.mesh import (
 )
 from voxtral_tpu.runtime.engine import VoxtralEngine
 
-from conftest import make_audio
 
 
 def _mel_batch(cfg, batch, n_frames, seed=0):

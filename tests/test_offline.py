@@ -1,6 +1,5 @@
 """Offline bulk-encode transcription path vs the streaming state machine."""
 
-import numpy as np
 
 from conftest import make_audio
 from voxtral_tpu.runtime.offline import (

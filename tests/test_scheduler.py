@@ -3,7 +3,6 @@ restart-mid-pool, alt tokens, flush/finish, join/leave churn, and the
 window-recompute encoder mode."""
 
 import numpy as np
-import pytest
 
 from conftest import make_audio
 from voxtral_tpu.parallel.scheduler import StreamPool

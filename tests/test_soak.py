@@ -11,7 +11,6 @@ import numpy as np
 import pytest
 
 from conftest import make_audio
-from voxtral_tpu.config import STREAM_MAX_DECODE_KV
 from voxtral_tpu.runtime.stream import VoxStream
 
 

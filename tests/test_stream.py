@@ -5,7 +5,6 @@ import numpy as np
 import pytest
 
 from conftest import make_audio
-from voxtral_tpu.config import TOKEN_EOS
 from voxtral_tpu.runtime.stream import VoxStream
 
 

@@ -3,7 +3,6 @@
 
 Profiles one full-size clip encode (T ~3196 positions) on chip."""
 
-import functools
 import os
 import sys
 import time

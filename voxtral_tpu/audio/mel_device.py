@@ -14,7 +14,6 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..config import GLOBAL_LOG_MEL_MAX, HOP_LENGTH, N_FFT
 from .mel import _MelTables

@@ -15,7 +15,7 @@ ICI collectives.
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import numpy as np

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import base64
 import json
-from typing import Iterable, Optional
+from typing import Iterable
 
 from .config import TOKEN_EOS, TOKEN_TEXT_MIN
 
