@@ -91,6 +91,27 @@ def main():
     dp = params["decoder"]
     ada = dmod.ada_scales(dp, cfg)
 
+    # DP_QUANT=int8|int4: profile the quantized serving path's terms (the
+    # int4+fp8 step sits at ~10 ms at B=32 vs a ~6 ms floor — attribute
+    # before attacking).  The bf16 masters are dropped so big batches fit.
+    quant_mode = os.environ.get("DP_QUANT", "")
+    if quant_mode == "int8":
+        from voxtral_tpu.models.quant import quantize_layer_stack
+
+        dp = dict(dp)
+        dp["layers"] = quantize_layer_stack(dp["layers"])
+        jax.block_until_ready(dp["layers"]["wqkv"])
+        params["decoder"] = dp
+    elif quant_mode == "int4":
+        from voxtral_tpu.models.quant import quantize_params
+
+        dp = quantize_params({"decoder": dp}, encoder=False, bits=4)[
+            "decoder"]
+        jax.block_until_ready(dp["layers"]["wqkv"])
+        params["decoder"] = dp
+    if quant_mode:
+        print(f"quant={quant_mode}", file=sys.stderr, flush=True)
+
     gib = 1 << 30
 
     # --- term: pure weight stream ---------------------------------------
@@ -221,9 +242,23 @@ def main():
 
     @jax.jit
     def matmuls_only(lyrs, ada, x):
+        # int4: packed stacks stay OUT of the scan xs (same rule as
+        # decoder_forward — a scan-sliced packed operand materializes the
+        # per-layer gather)
+        packed4 = quant.stack_is_packed4(lyrs)
+        xs_lp = (
+            {k: v for k, v in lyrs.items()
+             if k not in quant.PACKED_STACK_KEYS} if packed4 else lyrs
+        )
+
         def body(carry, xs):
             x = carry
             lp, ada_l, li = xs
+            if packed4:
+                lp = dict(lp)
+                for kk in quant.PACKED_STACK_KEYS:
+                    if kk in lyrs:
+                        lp[kk] = lyrs[kk]
             xn = rms_norm(x, lp["attn_norm"], d.norm_eps).astype(cdtype)
             qkv = quant.mm(xn, lp, "wqkv", cdtype, li=li)
             attn = qkv[:, : d.q_dim]                      # stub: no KV/flash
@@ -236,7 +271,7 @@ def main():
             return x + ffn.astype(x.dtype), None
         out, _ = jax.lax.scan(
             body, x,
-            (lyrs, ada, jnp.arange(d.n_layers, dtype=jnp.int32)),
+            (xs_lp, ada, jnp.arange(d.n_layers, dtype=jnp.int32)),
         )
         return out
 
