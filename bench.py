@@ -347,6 +347,8 @@ def main():
     def log(msg):
         print(f"  {msg}", file=sys.stderr, flush=True)
 
+    mem_ledger = {}
+
     def logmem(tag):
         """Device HBM ledger at phase boundaries (when the backend exposes
         it) — the 36-vs-40-stream OOM ceiling sits ~3 GB below the naive
@@ -354,6 +356,10 @@ def main():
         try:
             st = dev.memory_stats()
             gib = 1 << 30
+            mem_ledger[f"hbm_gib_{tag.split()[-1]}"] = round(
+                st["bytes_in_use"] / gib, 2)
+            mem_ledger["hbm_gib_peak"] = round(
+                st.get("peak_bytes_in_use", 0) / gib, 2)
             log(f"mem[{tag}]: in_use {st['bytes_in_use'] / gib:.2f} GiB, "
                 f"peak {st.get('peak_bytes_in_use', 0) / gib:.2f} GiB, "
                 f"limit {st.get('bytes_limit', 0) / gib:.2f} GiB")
@@ -766,6 +772,7 @@ def main():
         "bf16w_fp8kv_aggregate_x_realtime_est": (
             round(n_fp8 * 80.0 / fp8_step_ms, 1) if fp8_step_ms > 0 else -1
         ),
+        **mem_ledger,
         "device": str(dev),
         "weights": "real" if model_dir else "random",
         "mode": mode,
