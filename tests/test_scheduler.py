@@ -332,3 +332,22 @@ def test_pool_no_decode_watchdog(engine):
     s.last_decode_sample = 0
     pool._maybe_restart(i)
     assert pool.slots[i].n_restarts == 1
+
+
+def test_pool_print_stats(engine, capsys):
+    """print_stats emits the parser-compatible pool metric lines
+    (voxtral.c:1306-1317 contract) plus per-slot summaries at verbose 2."""
+    from voxtral_tpu.runtime import stream as stream_mod
+
+    a = make_audio(1.2, seed=71)
+    pool = StreamPool(engine, 2, dec_kv_ring=64, enc_mode="ring")
+    drive_pool(pool, [a])
+    old = stream_mod.verbose
+    stream_mod.verbose = 2
+    try:
+        pool.print_stats()
+    finally:
+        stream_mod.verbose = old
+    err = capsys.readouterr().err
+    assert "Encoder:" in err and "mel ->" in err
+    assert "slot 0:" in err

@@ -370,6 +370,44 @@ class StreamPool:
         del s.queue[:n]
         return out
 
+    def print_stats(self):
+        """Pool-level parser-compatible stderr metric lines (the VoxStream
+        print_stats analog, voxtral.c:1306-1317) plus one per-slot summary
+        line — the serving observability surface."""
+        import sys
+
+        from ..runtime import stream as stream_mod
+
+        if stream_mod.verbose < 1:
+            return
+        total_rows = sum(s.w_count for s in self.slots)
+        total_text = sum(s.n_text_tokens for s in self.slots)
+        total_gen = sum(s.n_generated for s in self.slots)
+        print(
+            f"Encoder: {sum(s.mel_cursor for s in self.slots)} mel -> "
+            f"{total_rows} tokens ({self.encoder_ms:.0f} ms)",
+            file=sys.stderr,
+        )
+        if total_text > 0:
+            per_step = (
+                self.decoder_ms / total_gen if total_gen else 0.0
+            )
+            print(
+                f"Decoder: {total_text} text tokens ({total_gen} steps) in "
+                f"{self.decoder_ms:.0f} ms ({per_step:.1f} ms/step "
+                f"aggregate)",
+                file=sys.stderr,
+            )
+        if stream_mod.verbose >= 2:
+            for i, s in enumerate(self.slots):
+                if s.mel_cursor or s.n_generated:
+                    print(
+                        f"  slot {i}: {'active' if s.active else 'closed'} "
+                        f"{s.mel_cursor} mel, {s.n_text_tokens} text / "
+                        f"{s.n_generated} steps, {s.n_restarts} restarts",
+                        file=sys.stderr,
+                    )
+
     # ------------------------------------------------------------------
     # the tick
     # ------------------------------------------------------------------
