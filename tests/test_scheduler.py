@@ -179,6 +179,91 @@ def test_pool_parked_slot_near_ring_cap(params, tiny_tokenizer):
     assert got_b == ref_b
 
 
+def test_pool_parked_rider_wrap_at_cap_ge_window(engine):
+    """cap >= window (dec_kv_ring 64 >= dec window 48, the 'size the ring
+    to the clip' configuration): an ACTIVE slot's wrap writes are exactly
+    ring-correct, but a PARKED rider's garbage write at logical dec_pos+j
+    displaces logical dec_pos+j-cap — still inside the window the slot
+    attends after it resumes once j >= cap-window+1.  The burst clamp must
+    bound t by max(cap - dec_pos, cap - window + 1) for parked riders;
+    transcripts must equal VoxStream through the pause/resume."""
+    cap, window = 64, engine.cfg.decoder.window
+    assert cap >= window
+    a = make_audio(6.5, seed=71)
+    b = make_audio(8.0, seed=72)
+
+    pool = StreamPool(engine, 2, dec_kv_ring=cap, enc_mode="ring")
+    ia = pool.add_stream()
+    ib = pool.add_stream()
+    for i in (ia, ib):
+        pool.set_processing_interval(i, 0.25)
+        pool.set_continuous(i, False)
+    step = 8000
+    b_feeds = []
+
+    def feed_b(chunk):
+        b_feeds.append(chunk)
+        pool.feed(ib, chunk)
+
+    # phase 1: feed both 4.5 s -> both park with dec_pos ~56 (> window 48,
+    # so the parked-rider threshold is cap-window+1 = 17 < exact-burst max)
+    for off in range(0, 72000, step):
+        pool.feed(ia, a[off : off + step])
+        feed_b(b[off : off + step])
+        pool.tick()
+    d = pool.slots[ia].dec_pos
+    # d > window makes the parked-rider threshold cap-window+1 = 17 (< the
+    # 24-row exact burst below); d may already sit past the cap — the
+    # displacement threshold j >= cap-window+1 is the same either way
+    assert d > window, (d, "a must park above the window length")
+    assert pool.slots[ia].backlog == 0
+
+    # a's live window rows sit at slots (d-window+1 .. d-1) % cap; a parked
+    # ride-along burst of t rows writes slots (d .. d+t-1) % cap, and any
+    # j >= cap-window+1 displaces an in-window row.  Snapshot the displace-
+    # able range before b's big burst.
+    live = np.arange(max(d - window + 1, 0), d) % cap
+    k_before = np.asarray(pool.dec_cache.k[ia][:, :, live])
+
+    # phase 2: b alone gets a 24-row backlog (18..31 decodes as ONE exact
+    # burst if unclamped — t=24 > 17, the wrap hazard for parked a)
+    big = 24 * 8 * 160  # 24 rows = 192 mel frames = 1.92 s
+    feed_b(b[72000 : 72000 + big])
+    pool.tick()
+    np.testing.assert_array_equal(
+        np.asarray(pool.dec_cache.k[ia][:, :, live]), k_before,
+        err_msg="parked ride-along write displaced in-window rows "
+                "(cap >= window burst clamp missing)",
+    )
+
+    # phase 3: a resumes; both finish; full equality vs VoxStream
+    off_b = 72000 + big
+    for off in range(72000, len(a), step):
+        pool.feed(ia, a[off : off + step])
+        if off_b < len(b):
+            feed_b(b[off_b : off_b + step])
+            off_b += step
+        pool.tick()
+    pool.finish(ia)
+    while off_b < len(b):
+        feed_b(b[off_b : off_b + step])
+        pool.tick()
+        off_b += step
+    pool.finish(ib)
+    got_a = [(t,) for t in pool.get(ia)]
+    got_b = [(t,) for t in pool.get(ib)]
+
+    ref_a = run_voxstream(engine, a)   # a's schedule is uniform 0.5 s chunks
+    sb = VoxStream(engine)             # b's ref replays the exact schedule
+    sb.set_processing_interval(0.25)
+    for chunk in b_feeds:
+        sb.feed(chunk)
+    sb.finish()
+    ref_b = [(t,) for t in sb.get()]
+    assert got_a == ref_a
+    assert got_b == ref_b
+
+
 def test_pool_alt_tokens(engine):
     """Pool alt-token queues equal VoxStream's (n_alt=3, loose cutoff)."""
     a = make_audio(2.0, seed=11)

@@ -585,11 +585,26 @@ class StreamPool:
                     hr = self.dec_ring - s.dec_pos
                     if hr > 0:
                         headrooms.append(hr)
+                elif s.active and s.decoder_started and not ok:
+                    # cap >= window: an ACTIVE slot's ring writes are always
+                    # correct (each wrap displaces a row that just left the
+                    # window), but a PARKED rider's garbage write at logical
+                    # dec_pos+j displaces the row at that slot's residue —
+                    # logical dec_pos+j-cap, which is still inside the
+                    # window the slot attends after it resumes iff
+                    # j >= cap-window+1 (and displaces anything at all only
+                    # once dec_pos+j >= cap).  t <= max(cap - dec_pos,
+                    # cap - window + 1) is therefore always safe, and >= 1
+                    # when cap >= window — no deadlock, no forced restart.
+                    headrooms.append(max(
+                        self.dec_ring - s.dec_pos,
+                        self.dec_ring - cfg.decoder.window + 1,
+                    ))
             if not any(cands):
                 break
             q = min(
                 min(s.backlog for s, c in zip(self.slots, cands) if c),
-                *(headrooms if ring_limited else [1 << 30]),
+                *(headrooms or [1 << 30]),
             )
             t = self._burst_len(q)
 
