@@ -91,6 +91,57 @@ def test_bulk_rows_match_incremental(engine, cfg, params):
     np.testing.assert_allclose(np.asarray(bulk), inc, rtol=2e-4, atol=2e-4)
 
 
+def _window_chunks(cfg, params, mel, split, wp):
+    """Drive window_encode_chunk over two chunks with a wp-row context."""
+    import jax.numpy as jnp
+
+    from voxtral_tpu.models.bulk_encode import window_encode_chunk
+
+    e = cfg.encoder
+    mel_tail = jnp.zeros((2, e.n_mel), jnp.float32)
+    c0_tail = jnp.zeros((2, e.dim), cfg.cdtype)
+    xwin = jnp.zeros((wp, e.dim), cfg.cdtype)
+    n_ctx = jnp.int32(0)
+    rows_all = []
+    for lo, hi in [(0, split), (split, mel.shape[0])]:
+        rows, mel_tail, c0_tail, xwin, n_ctx = window_encode_chunk(
+            params["encoder"], params["adapter"], cfg,
+            jnp.asarray(mel[lo:hi]), mel_tail, c0_tail, xwin, n_ctx,
+        )
+        rows_all.append(np.asarray(rows))
+    return np.concatenate(rows_all, axis=0)
+
+
+def test_window_recompute_truncation_semantics(cfg, params):
+    """Window-recompute is EXACT when the retained context covers every
+    layer's receptive field, and an approximation when it doesn't: with the
+    minimum pad, context rows near the edge are recomputed from truncated
+    lower-layer windows (bulk_encode.window_encode_chunk docstring)."""
+    rng = np.random.default_rng(5)
+    mel = rng.standard_normal((160, cfg.encoder.n_mel)).astype(np.float32)
+
+    bulk = np.asarray(bulk_encode_clip(
+        params["encoder"], params["adapter"], cfg, jnp.asarray(mel)
+    ))
+
+    # wp covers the whole history -> nothing truncated at any depth
+    full = _window_chunks(cfg, params, mel, split=96, wp=80)
+    dev_full = np.max(np.abs(full - bulk))
+    np.testing.assert_allclose(full, bulk, rtol=2e-4, atol=2e-4)
+
+    # minimum pad (one window) -> deep-layer receptive fields truncate
+    from voxtral_tpu.models.bulk_encode import window_pad
+
+    trunc = _window_chunks(cfg, params, mel, split=96, wp=window_pad(cfg))
+    dev_trunc = np.max(np.abs(trunc - bulk))
+    assert dev_trunc > dev_full, (dev_trunc, dev_full)
+
+    # extra context pushes the truncation one attention-hop deeper; with
+    # only 2 layers in the tiny config, extra=1 is already fully exact
+    ext = _window_chunks(cfg, params, mel, split=96, wp=window_pad(cfg, 1))
+    np.testing.assert_allclose(ext, bulk, rtol=2e-4, atol=2e-4)
+
+
 def test_bulk_batched_matches_single(cfg, params):
     """One batched launch == per-stream calls (custom_vmap routing)."""
     rng = np.random.default_rng(9)

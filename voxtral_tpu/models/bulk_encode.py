@@ -118,10 +118,16 @@ def bulk_encode_clip(
     return adapter_forward(adapter_params, cfg, y).astype(jnp.float32)
 
 
-def window_pad(cfg: VoxtralConfig) -> int:
-    """Rows of encoder-INPUT context the window-recompute mode must retain:
-    the oldest new query looks back window-1 positions (8-aligned)."""
-    return -(-(cfg.encoder.window - 1) // 8) * 8
+def window_pad(cfg: VoxtralConfig, extra: int = 0) -> int:
+    """Rows of encoder-INPUT context the window-recompute mode retains
+    (8-aligned).  The minimum (extra=0) is window-1: every kept query sees
+    its full layer-1 window.  Deeper layers' receptive fields reach further
+    back (layer l depends on inputs up to l*(window-1) positions before the
+    query), so the recompute TRUNCATES them — each `extra` window of
+    retained context pushes the truncation one attention-hop deeper
+    (exact through layer 1+extra), at ~window more recompute rows per tick
+    and ~2 MB/stream of extra state at full size."""
+    return -(-((1 + extra) * (cfg.encoder.window - 1)) // 8) * 8
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -137,12 +143,20 @@ def window_encode_chunk(
 ):
     """Window-RECOMPUTE streaming encode: instead of holding a per-stream
     MHA-32 KV ring (~0.5 GB/stream at full size — the serving-density
-    wall), keep only the last `window` encoder INPUTS (~2 MB/stream) and
-    re-run the transformer over [context + chunk] each tick, keeping the
-    chunk's outputs.  Exact sliding-window semantics: every kept query sees
-    its full window; RoPE is relative so the position shift is free.
-    8x encoder FLOPs at typical intervals, but the encoder is ~15% of
-    serving compute and the banded kernel keeps it MXU-bound.
+    wall), keep only the last `xwin.shape[0]` encoder INPUTS (~2 MB/stream
+    at the window_pad minimum) and re-run the transformer over
+    [context + chunk] each tick, keeping the chunk's outputs.
+
+    This is the standard block-streaming APPROXIMATION, not the exact
+    incremental math: every kept query sees its full layer-1 window, but
+    context positions near the start of xwin are recomputed from truncated
+    lower-layer windows (the ring path caches K/V computed from full
+    history), so deep-layer outputs differ slightly — size xwin via
+    window_pad(cfg, extra=k) to push the truncation k attention-hops
+    deeper.  RoPE itself is relative, so the position shift adds no error
+    beyond reduction order.  ~8x encoder FLOPs at typical intervals at the
+    minimum pad, but the encoder is ~15% of serving compute and the banded
+    kernel keeps it MXU-bound.
 
     Returns (rows [Q//8, 3072] f32, new_mel_tail, new_c0_tail, new_xwin,
     new_n_ctx)."""

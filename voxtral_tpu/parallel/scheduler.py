@@ -22,11 +22,16 @@ Two encoder modes:
               MHA-32 ring is ~0.5 GB/stream at full size, capping pools at
               ~8 streams on a 16 GB chip.
   * "window": window-RECOMPUTE (models/bulk_encode.window_encode_chunk):
-              keeps only the last `window` encoder INPUTS (~2 MB/stream)
+              keeps only the last ~`window` encoder INPUTS (~2 MB/stream)
               and re-encodes [context + chunk] with the banded no-ring
-              kernel each tick.  Exact sliding-window semantics; transcripts
-              can flip near-tied tokens vs "ring" (different reduction
-              order).  This is the high-density serving mode (32+ streams).
+              kernel each tick.  The standard block-streaming
+              APPROXIMATION: kept queries see their full layer-1 window,
+              but deeper layers' receptive fields are truncated at the
+              context edge (see window_encode_chunk), on top of
+              reduction-order near-tie flips vs "ring".  `enc_ctx_extra`
+              retains extra windows of context to push the truncation
+              deeper.  This is the high-density serving mode (32+
+              streams).
 
 Slot-uniformity tricks shared with the round-2 pool: inactive/ineligible
 slots ride along in device calls with masked state restore; non-decodable
@@ -209,7 +214,8 @@ class StreamPool:
                  enc_mode: str = "auto", n_alt: int = 0,
                  enc_kv_ring: Optional[int] = None,
                  enc_kv_dtype: Optional[str] = None,
-                 dec_kv_dtype: Optional[str] = None):
+                 dec_kv_dtype: Optional[str] = None,
+                 enc_ctx_extra: int = 0):
         """enc_kv_ring/enc_kv_dtype/dec_kv_dtype override the engine's cache
         geometry/storage for THIS pool only — e.g. a high-density live pool
         can run ring-mode encoder caches in fp8 at a tight 896 cap (the
@@ -253,7 +259,7 @@ class StreamPool:
         else:
             from ..models.bulk_encode import window_pad
 
-            wp = window_pad(cfg)
+            wp = window_pad(cfg, extra=enc_ctx_extra)
             self.enc_cache = None
             self.xwin = jnp.zeros((n_slots, wp, cfg.encoder.dim), cfg.cdtype)
             self.n_ctx = np.zeros(n_slots, np.int32)
