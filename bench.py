@@ -500,6 +500,43 @@ def main():
         if w2 < wall:
             wall, enc_s, dec_s = w2, e2, d2
 
+    def run_extra(tag, fn):
+        """An extra must not kill the run (its allocations are GBs next to
+        the headline's residents): contain OOMs — the supervisor would
+        otherwise shed HEADLINE streams over a side measurement."""
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001 — RESOURCE_EXHAUSTED etc.
+            if "RESOURCE_EXHAUSTED" not in str(e) and \
+                    "Ran out of memory" not in str(e):
+                raise
+            log(f"{tag}: OOM — skipped")
+            return -1.0
+
+    def step_extra(tag, n, dec, dcfg):
+        """Quantized/degraded-KV decode-step timing at n streams: build a
+        cache, run 4x64-step bursts at mid-clip fill (a near-empty ring
+        flatters fill-sensitive attention paths), report ms/step."""
+        state = {"c": sv.batched_dec_cache(dcfg, n, engine.dec_kv_ring)}
+        chunk = jnp.zeros((n, 64, cfg.decoder.dim), jnp.float32)
+        prev = jnp.full((n,), 32, jnp.int32)
+
+        def q_step():
+            toks, _, _, _, state["c"] = sv.bdecode_burst(
+                dec, dcfg, chunk, prev, state["c"],
+                jnp.full((n,), 500, jnp.int32), engine.ada(),
+            )
+            return toks
+
+        _ = np.asarray(q_step())
+        t0 = time.monotonic()
+        for _ in range(4):
+            toks = q_step()
+        _ = np.asarray(toks)
+        ms = 1000.0 * (time.monotonic() - t0) / (4 * 64)
+        log(f"{tag} step {ms:.2f} ms ({n} streams)")
+        return ms
+
     # --- int8 weight-only variant: step time only (transcripts differ at
     # near-ties, so it is reported as an extra, not the headline) -----------
     int8_step_ms = -1.0
@@ -508,33 +545,15 @@ def main():
     # the combined footprint (8.9 bf16 + 3.4 int8 + 3.5 rings GB) OOMs
     n_int8 = min(n_streams, 16)
     if mode == "bf16" and os.environ.get("BENCH_INT8", "1") != "0":
-        from voxtral_tpu.models.quant import quantize_layer_stack
+        def _int8():
+            from voxtral_tpu.models.quant import quantize_layer_stack
 
-        qdec = dict(params["decoder"])
-        qdec["layers"] = quantize_layer_stack(qdec["layers"])
-        jax.block_until_ready(qdec["layers"]["wqkv"])
-        dec_cache = sv.batched_dec_cache(cfg, n_int8, engine.dec_kv_ring)
-        chunk = jnp.zeros((n_int8, 64, cfg.decoder.dim), jnp.float32)
-        prev8 = jnp.full((n_int8,), 32, jnp.int32)
-        state = {"c": dec_cache}
+            qdec = dict(params["decoder"])
+            qdec["layers"] = quantize_layer_stack(qdec["layers"])
+            jax.block_until_ready(qdec["layers"]["wqkv"])
+            return step_extra("int8", n_int8, qdec, cfg)
 
-        def q_step():
-            toks, _, _, _, state["c"] = sv.bdecode_burst(
-                qdec, cfg, chunk, prev8, state["c"],
-                # mid-clip fill: the flash path's read traffic scales with
-                # live window, so a near-empty ring flatters the estimate
-                jnp.full((n_int8,), 500, jnp.int32), engine.ada(),
-            )
-            return toks
-
-        _ = np.asarray(q_step())
-        t0 = time.monotonic()
-        for _ in range(4):
-            toks8 = q_step()
-        _ = np.asarray(toks8)
-        int8_step_ms = 1000.0 * (time.monotonic() - t0) / (4 * 64)
-        log(f"int8 step {int8_step_ms:.2f} ms ({n_int8} streams)")
-        del state, dec_cache, qdec
+        int8_step_ms = run_extra("int8", _int8)
 
     # --- int4 (Pallas in-VMEM-unpack kernel) + fp8 KV: the full dtype
     # ladder's bottom rung; step time only, like the int8 extra.  The int4
@@ -543,34 +562,17 @@ def main():
     int4_step_ms = -1.0
     n_int4 = min(n_streams, 32)
     if mode == "bf16" and os.environ.get("BENCH_INT4", "1") != "0":
-        from voxtral_tpu.models.quant import quantize_params
+        def _int4():
+            from voxtral_tpu.models.quant import quantize_params
 
-        cfg4 = cfg.replace(kv_dtype="float8_e4m3fn")
-        qdec4 = quantize_params(
-            {"decoder": params["decoder"]}, encoder=False, bits=4
-        )["decoder"]
-        jax.block_until_ready(qdec4["layers"]["wqkv"])
-        dec_cache = sv.batched_dec_cache(cfg4, n_int4, engine.dec_kv_ring)
-        chunk4 = jnp.zeros((n_int4, 64, cfg.decoder.dim), jnp.float32)
-        prev4 = jnp.full((n_int4,), 32, jnp.int32)
-        state = {"c": dec_cache}
+            cfg4 = cfg.replace(kv_dtype="float8_e4m3fn")
+            qdec4 = quantize_params(
+                {"decoder": params["decoder"]}, encoder=False, bits=4
+            )["decoder"]
+            jax.block_until_ready(qdec4["layers"]["wqkv"])
+            return step_extra("int4+fp8kv", n_int4, qdec4, cfg4)
 
-        def q4_step():
-            toks, _, _, _, state["c"] = sv.bdecode_burst(
-                qdec4, cfg4, chunk4, prev4, state["c"],
-                # mid-clip fill (see the int8 extra note)
-                jnp.full((n_int4,), 500, jnp.int32), engine.ada(),
-            )
-            return toks
-
-        _ = np.asarray(q4_step())
-        t0 = time.monotonic()
-        for _ in range(4):
-            toks4 = q4_step()
-        _ = np.asarray(toks4)
-        int4_step_ms = 1000.0 * (time.monotonic() - t0) / (4 * 64)
-        log(f"int4+fp8kv step {int4_step_ms:.2f} ms ({n_int4} streams)")
-        del state, dec_cache, qdec4
+        int4_step_ms = run_extra("int4+fp8kv", _int4)
 
     # --- EXACT bf16 weights + fp8 KV rings: the reference's own Metal
     # default is a degraded-KV cache (fp16, VOX_DECODER_KV_FP16 default-on —
@@ -581,33 +583,13 @@ def main():
     fp8_step_ms = -1.0
     n_fp8 = int(os.environ.get("BENCH_FP8_STREAMS", "64"))
     if mode == "bf16" and os.environ.get("BENCH_FP8", "1") != "0":
-        cfg8 = cfg.replace(kv_dtype="float8_e4m3fn")
-        dec_cache = sv.batched_dec_cache(cfg8, n_fp8, engine.dec_kv_ring)
-        chunk8 = jnp.zeros((n_fp8, 64, cfg.decoder.dim), jnp.float32)
-        prev_f8 = jnp.full((n_fp8,), 32, jnp.int32)
-        state = {"c": dec_cache}
-
-        def f8_step():
-            toks, _, _, _, state["c"] = sv.bdecode_burst(
-                params["decoder"], cfg8, chunk8, prev_f8, state["c"],
-                jnp.full((n_fp8,), 500, jnp.int32), engine.ada(),
-            )
-            return toks
-
-        try:
-            _ = np.asarray(f8_step())
-            t0 = time.monotonic()
-            for _ in range(4):
-                toks_f8 = f8_step()
-            _ = np.asarray(toks_f8)
-            fp8_step_ms = 1000.0 * (time.monotonic() - t0) / (4 * 64)
-            log(f"bf16w+fp8kv step {fp8_step_ms:.2f} ms ({n_fp8} streams)")
-        except Exception as e:  # noqa: BLE001 — an extra must not kill the run
-            if "RESOURCE_EXHAUSTED" not in str(e) and \
-                    "Ran out of memory" not in str(e):
-                raise
-            log(f"bf16w+fp8kv extra OOM at {n_fp8} streams — skipped")
-        del state, dec_cache
+        fp8_step_ms = run_extra(
+            "bf16w+fp8kv",
+            lambda: step_extra(
+                "bf16w+fp8kv", n_fp8, params["decoder"],
+                cfg.replace(kv_dtype="float8_e4m3fn"),
+            ),
+        )
 
     # --- phase 2: single-stream p50 token latency at -I 0.5 ----------------
     from voxtral_tpu.runtime.stream import VoxStream
