@@ -225,7 +225,7 @@ def _encode_clips_batched(engine, mel: np.ndarray, enc_batch: int,
         memo[cache_key] = fn
     for q in engine.fused_sizes(q_total):
         rows, tails, enc_cache = fn(
-            engine.params["encoder"], engine.params["adapter"],
+            engine._encp(), engine._adap(),
             jnp.asarray(mel[i : i + q]), tails, enc_cache, jnp.int32(enc_pos)
         )
         enc_pos += q // 2
@@ -314,8 +314,34 @@ def main():
         params = init_params(cfg, seed=0)
         tok = TekkenTokenizer([bytes([i % 256]) for i in range(1000)], 1000)
 
+    def encoder_source():
+        """restore_encoder() hook: re-materialize ONLY the encoder+adapter
+        weights after the decode phase ran with them paged out of HBM
+        (engine.offload_encoder()).  Mirrors init_params' key split so the
+        restored random weights are bit-identical to the originals."""
+        if model_dir and os.path.exists(
+                os.path.join(model_dir, "consolidated.safetensors")):
+            from voxtral_tpu.io.safetensors import SafetensorsFile
+            from voxtral_tpu.models.params import (
+                load_adapter_params,
+                load_encoder_params,
+            )
+
+            sf = SafetensorsFile(
+                os.path.join(model_dir, "consolidated.safetensors"))
+            return {"encoder": load_encoder_params(sf, cfg),
+                    "adapter": load_adapter_params(sf, cfg)}
+        from voxtral_tpu.models.params import (
+            init_adapter_params,
+            init_encoder_params,
+        )
+
+        k0, k1, _ = jax.random.split(jax.random.PRNGKey(0), 3)
+        return {"encoder": init_encoder_params(cfg, k0),
+                "adapter": init_adapter_params(cfg, k1)}
+
     engine = VoxtralEngine(
-        cfg, params, tokenizer=tok,
+        cfg, params, tokenizer=tok, param_source=encoder_source,
         quantize="int4" if mode == "int4" else False, **eng_kwargs
     )
     # rebind so the pre-quantization bf16 decoder copies become garbage and
@@ -390,7 +416,10 @@ def main():
     def run_once(label):
         """Full two-phase pipeline over all streams; returns wall + stats."""
         t_start = time.monotonic()
-        # Phase E: encode
+        # Phase E: encode.  Encoder+adapter weights are paged back in first
+        # (the previous pass's decode phase dropped them) — the re-
+        # materialization cost is part of the timed pipeline.
+        engine.restore_encoder()
         if enc_mode == "bulk":
             n_rows = mel_one.shape[0] // 8
             mel_dev = jnp.asarray(mel_one)
@@ -445,7 +474,12 @@ def main():
         t_enc = time.monotonic()
         logmem(f"{label} post-encode")
 
-        # Phase D: batched decode
+        # Phase D: batched decode.  Page the encoder+adapter weights (~2 GB
+        # bf16) out of HBM first: the decode step never reads them, and at 44
+        # streams the full pipeline otherwise sits ~tens of MB from the
+        # ceiling (measured: the first 34 MB burst-chunk slice OOMs).
+        engine.offload_encoder()
+        _ = np.asarray(jnp.zeros((1,)))    # drain the queue so frees land
         n_audio = adapter.shape[1]
         dec_cache = sv.batched_dec_cache(cfg, n_streams, engine.dec_kv_ring)
         prompt = jax.vmap(engine.prompt_embeds)(adapter[:, :L])
@@ -592,11 +626,15 @@ def main():
         )
 
     # --- phase 2: single-stream p50 token latency at -I 0.5 ----------------
+    # (the quantized step-time extras above ran with the encoder still paged
+    # out — more HBM headroom for their weight copies; streaming needs it back)
+    engine.restore_encoder()
     from voxtral_tpu.runtime.stream import VoxStream
 
     chunk_n = 8000
     lat_ms: list[float] = []
-    for run_i in range(2):  # first run absorbs single-stream compiles
+    lat_runs = 2 if os.environ.get("BENCH_LAT", "1") != "0" else 0
+    for run_i in range(lat_runs):  # first run absorbs single-stream compiles
         lat_ms = []
         s = VoxStream(engine)
         s.set_processing_interval(0.5)

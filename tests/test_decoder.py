@@ -147,3 +147,47 @@ def test_alt_outputs(engine, cfg):
         if toks[j] >= 1000:
             assert alt_ids[j, 0] == toks[j]
             np.testing.assert_allclose(alt_probs[j, 0], best_probs[j], rtol=1e-5)
+
+
+def test_prefill_unroll_layers_equivalence(cfg, params, engine):
+    """unroll_layers=True (the batched-prefill form that keeps vmapped ring
+    updates in place — serving.bprefill) must produce a bitwise-identical
+    cache to the layer scan, both single-stream and stream-vmapped."""
+    import jax
+    import jax.numpy as jnp
+
+    from voxtral_tpu.models import decoder as dec_mod
+    from voxtral_tpu.parallel import serving as sv
+
+    rng = np.random.default_rng(11)
+    emb = jnp.asarray(
+        rng.standard_normal((7, cfg.decoder.dim)).astype(np.float32)
+    )
+    outs = []
+    for unroll in (False, True):
+        cache = engine.new_dec_cache()
+        out = dec_mod.prefill(
+            params["decoder"], cfg, emb, cache, jnp.int32(0), engine.ada(),
+            unroll_layers=unroll,
+        )
+        outs.append(out)
+    np.testing.assert_array_equal(np.asarray(outs[0].k), np.asarray(outs[1].k))
+    np.testing.assert_array_equal(np.asarray(outs[0].v), np.asarray(outs[1].v))
+
+    # batched: bprefill (unrolled under vmap) == stacked single-stream caches
+    b = 3
+    bemb = jnp.asarray(
+        rng.standard_normal((b, 7, cfg.decoder.dim)).astype(np.float32)
+    )
+    bcache = sv.batched_dec_cache(cfg, b, engine.dec_kv_ring)
+    got = sv.bprefill(
+        params["decoder"], cfg, bemb, bcache,
+        jnp.zeros((b,), jnp.int32), engine.ada(),
+    )
+    for s in range(b):
+        ref = dec_mod.prefill(
+            params["decoder"], cfg, bemb[s], engine.new_dec_cache(),
+            jnp.int32(0), engine.ada(),
+        )
+        np.testing.assert_array_equal(np.asarray(got.k[s]), np.asarray(ref.k))
+        np.testing.assert_array_equal(np.asarray(got.v[s]), np.asarray(ref.v))

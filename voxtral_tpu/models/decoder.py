@@ -184,9 +184,19 @@ def decoder_forward(
     cache: KVCache,
     pos0: jax.Array,         # scalar int32
     ada: jax.Array,          # [L, dim] f32 precomputed ada scales
+    unroll_layers: bool = False,
 ):
     """Run all layers over T embeddings (prefill / teacher-forced forward).
-    Returns (hidden [T, dim], cache)."""
+    Returns (hidden [T, dim], cache).
+
+    `unroll_layers=True` replaces the layer scan with a static Python loop:
+    every ring access becomes a constant-index slice/update that XLA keeps
+    in place.  The scan variant carries the whole stacked cache and, under
+    stream-vmap, XLA re-lays it out layer-major — two full-cache HLO-temp
+    copies (2 x 2.49 GB at B=56 x ring 896, the allocation that capped
+    batched prefill; measured round 3).  Batched prefill (serving.bprefill)
+    uses the unrolled form; single-stream paths keep the scan (smaller
+    compile, no layout pressure at B=1)."""
     d = cfg.decoder
     cdtype = cfg.cdtype
     t = embeds.shape[0]
@@ -196,6 +206,19 @@ def decoder_forward(
 
     lyrs = params["layers"]
     packed4 = quant.stack_is_packed4(lyrs)
+
+    if unroll_layers:
+        k_all, v_all = cache.k, cache.v
+        for li in range(d.n_layers):
+            lp = {
+                k: (v if (packed4 and k in quant.PACKED_STACK_KEYS) else v[li])
+                for k, v in lyrs.items()
+            }
+            x, k_all, v_all = _layer_step(
+                d, cdtype, x, lp, ada[li], k_all, v_all, jnp.int32(li),
+                pos0, cos, sin,
+            )
+        return x, KVCache(k_all, v_all)
     if packed4:
         # int4: the packed matrices stay OUT of the scan xs — the Pallas
         # matmul kernel takes the full stack + layer index and slices the
@@ -264,7 +287,11 @@ def final_logits(params: PyTree, cfg: VoxtralConfig, x: jax.Array) -> jax.Array:
     )
 
 
-@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "unroll_layers"),
+    donate_argnames=("cache",),
+)
 def prefill(
     params: PyTree,
     cfg: VoxtralConfig,
@@ -272,11 +299,15 @@ def prefill(
     cache: KVCache,
     pos0: jax.Array,
     ada: jax.Array,
+    unroll_layers: bool = False,
 ) -> KVCache:
     """Teacher-forced prefill: write KV for `embeds`, discard hidden states
     (vox_decoder_prefill analog, voxtral_decoder.c:410-558).  `params` is the
-    decoder subtree."""
-    _, cache = decoder_forward(params, cfg, embeds, cache, pos0, ada)
+    decoder subtree.  `unroll_layers`: see decoder_forward — batched callers
+    pass True to keep the vmapped cache updates in place."""
+    _, cache = decoder_forward(
+        params, cfg, embeds, cache, pos0, ada, unroll_layers=unroll_layers
+    )
     return cache
 
 

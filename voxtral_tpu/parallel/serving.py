@@ -62,8 +62,16 @@ def badapter(adapter_params, cfg: VoxtralConfig, x):
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
 def bprefill(dec_params, cfg: VoxtralConfig, embeds, cache: KVCache, pos0, ada):
-    """pos0: [B] per-slot decode positions."""
-    f = lambda e, c, pi: dec_mod.prefill(dec_params, cfg, e, c, pi, ada)
+    """pos0: [B] per-slot decode positions.
+
+    unroll_layers: the scan-based prefill carries the whole stacked cache,
+    and under stream-vmap XLA re-lays it out layer-major — two full-cache
+    HLO-temp copies (2 x 2.49 GB at B=56 x ring 896) that capped the batch
+    size.  The static layer loop keeps every ring update a constant-index
+    in-place DUS (measured round 3; decoder.decoder_forward docstring)."""
+    f = lambda e, c, pi: dec_mod.prefill(
+        dec_params, cfg, e, c, pi, ada, unroll_layers=True
+    )
     return jax.vmap(f)(embeds, cache, pos0)
 
 

@@ -81,8 +81,11 @@ class VoxtralEngine:
         fused_streaming: bool = True,      # one-call audio side for aligned chunks
         quantize: bool | str = False,      # int8/int4 weight-only decoder
                                            # (False | True/"int8" | "int4")
+        param_source=None,                 # () -> {"encoder","adapter"} re-load
+                                           # hook enabling offload_encoder()
     ):
         self.cfg = cfg
+        self.param_source = param_source
         if quantize:
             # decoder only: that's where the bandwidth-bound traffic is; the
             # encoder stays exact.  Transcripts may differ from bf16 on
@@ -152,6 +155,47 @@ class VoxtralEngine:
             self._ada[d] = ada_scales(self.params["decoder"], cfg)
         return self._ada[d]
 
+    # -- phase-lifetime weight paging -----------------------------------------
+    def offload_encoder(self) -> None:
+        """Drop the encoder+adapter weights (~2 GB bf16) from HBM for the
+        decode phase of a phase-separated batch pipeline — the decode step
+        never reads them, and on a 16 GB v5e they are the difference between
+        36 and 48+ concurrently decoding streams (bench.py).  The reference
+        has no analog: its encoder weights are mmap pages the OS can evict
+        (voxtral_safetensors.c:204); on TPU the eviction must be explicit.
+        Requires `param_source` so `restore_encoder()` can re-materialize
+        them (re-init from seed for random weights, re-read from safetensors
+        for a checkpoint — both cheap next to a multi-stream decode phase)."""
+        if self.param_source is None:
+            raise RuntimeError(
+                "offload_encoder() needs the engine's param_source hook "
+                "to be able to restore_encoder() later"
+            )
+        self.params.pop("encoder", None)
+        self.params.pop("adapter", None)
+
+    def restore_encoder(self) -> None:
+        """Re-materialize offloaded encoder+adapter weights via
+        `param_source` (idempotent).  The source must return a mapping with
+        ONLY the 'encoder' and 'adapter' entries — materializing a fresh
+        decoder alongside the resident one would transiently double the
+        biggest allocation."""
+        if "encoder" in self.params and "adapter" in self.params:
+            return
+        fresh = self.param_source()
+        self.params.setdefault("encoder", fresh["encoder"])
+        self.params.setdefault("adapter", fresh["adapter"])
+
+    def _encp(self):
+        if "encoder" not in self.params:
+            self.restore_encoder()
+        return self.params["encoder"]
+
+    def _adap(self):
+        if "adapter" not in self.params:
+            self.restore_encoder()
+        return self.params["adapter"]
+
     # -- cache factories -----------------------------------------------------
     def new_dec_cache(self) -> KVCache:
         return KVCache.create(self.cfg.decoder, self.cfg.kvdtype, self.dec_kv_ring)
@@ -194,21 +238,21 @@ class VoxtralEngine:
     # -- compiled-program wrappers (bucketed) --------------------------------
     def conv0(self, mel: jax.Array, tail: jax.Array):
         return enc_mod.conv0_chunk(
-            self.params["encoder"], mel, tail, cdtype_name=self.cfg.compute_dtype
+            self._encp(), mel, tail, cdtype_name=self.cfg.compute_dtype
         )
 
     def conv1(self, feed: jax.Array, tail: jax.Array):
         return enc_mod.conv1_chunk(
-            self.params["encoder"], feed, tail, cdtype_name=self.cfg.compute_dtype
+            self._encp(), feed, tail, cdtype_name=self.cfg.compute_dtype
         )
 
     def encode(self, x: jax.Array, cache: EncKVCache, pos0: int):
         return enc_mod.encode_chunk(
-            self.params["encoder"], self.cfg, x, cache, jnp.int32(pos0)
+            self._encp(), self.cfg, x, cache, jnp.int32(pos0)
         )
 
     def adapter(self, enc_out: jax.Array) -> jax.Array:
-        return enc_mod.adapter_forward(self.params["adapter"], self.cfg, enc_out)
+        return enc_mod.adapter_forward(self._adap(), self.cfg, enc_out)
 
     def fused_encode(self, mel, tails, cache: EncKVCache, enc_pos: int):
         """One-program conv+encoder+adapter for quantum-aligned mel chunks
@@ -216,7 +260,7 @@ class VoxtralEngine:
         from ..models.fused_stream import fused_encode_chunk
 
         return fused_encode_chunk(
-            self.params["encoder"], self.params["adapter"], self.cfg,
+            self._encp(), self._adap(), self.cfg,
             jnp.asarray(mel), tails, cache, jnp.int32(enc_pos),
         )
 
@@ -229,7 +273,7 @@ class VoxtralEngine:
         from ..models.bulk_encode import bulk_encode_clip
 
         return bulk_encode_clip(
-            self.params["encoder"], self.params["adapter"], self.cfg,
+            self._encp(), self._adap(), self.cfg,
             jnp.asarray(mel),
         )
 
@@ -239,7 +283,7 @@ class VoxtralEngine:
         from ..models.bulk_encode import bulk_encode_clips
 
         return bulk_encode_clips(
-            self.params["encoder"], self.params["adapter"], self.cfg,
+            self._encp(), self._adap(), self.cfg,
             jnp.asarray(mel_b),
         )
 
