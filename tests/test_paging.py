@@ -93,3 +93,81 @@ def test_offload_without_source_refused(cfg, params, tiny_tokenizer):
     with pytest.raises(RuntimeError, match="param_source"):
         eng.offload_encoder()
     assert "encoder" in eng.params  # nothing was dropped
+
+
+def test_restore_without_source_clear_error(cfg, params, tiny_tokenizer):
+    """An engine whose encoder weights vanished without a param_source hook
+    must fail with a clear RuntimeError, not 'NoneType is not callable'."""
+    eng = _fresh_engine(cfg, params, tiny_tokenizer, None)
+    eng.params.pop("encoder")
+    with pytest.raises(RuntimeError, match="param_source"):
+        eng.restore_encoder()
+    with pytest.raises(RuntimeError, match="param_source"):
+        eng._encp()
+
+
+def test_shared_param_source_matches_init(cfg):
+    """encoder_param_source (no checkpoint) re-derives weights bit-identical
+    to init_params(seed)'s encoder/adapter entries."""
+    from voxtral_tpu.models.params import encoder_param_source, init_params
+
+    src = encoder_param_source(cfg, "", seed=0)
+    assert not src.use_checkpoint
+    fresh = src()
+    ref = init_params(cfg, seed=0)
+    np.testing.assert_array_equal(
+        np.asarray(fresh["encoder"]["layers"]["wqkv"]),
+        np.asarray(ref["encoder"]["layers"]["wqkv"]),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(fresh["adapter"]["w0"]), np.asarray(ref["adapter"]["w0"])
+    )
+
+
+def test_pool_tick_on_offloaded_engine(cfg, params, tiny_tokenizer):
+    """A StreamPool ticked while the engine is offloaded must auto-restore
+    the encoder weights (ADVICE r3 medium), in both encoder modes, and
+    produce the same transcript as a never-offloaded pool."""
+    from voxtral_tpu.models.params import encoder_param_source
+    from voxtral_tpu.parallel.scheduler import StreamPool
+
+    src = encoder_param_source(cfg, "", seed=0)
+    audio = make_audio(2.4, seed=5)
+
+    def run_pool(enc_mode, offload):
+        eng = _fresh_engine(cfg, params, tiny_tokenizer, src)
+        if offload:
+            eng.offload_encoder()
+        pool = StreamPool(eng, 2, dec_kv_ring=64, enc_mode=enc_mode)
+        i = pool.add_stream()
+        pool.set_processing_interval(i, 0.25)
+        step = 8000
+        for off in range(0, len(audio), step):
+            pool.feed(i, audio[off : off + step])
+            pool.tick()
+        pool.finish(i)
+        return pool.get(i)
+
+    for enc_mode in ("ring", "window"):
+        assert run_pool(enc_mode, True) == run_pool(enc_mode, False)
+
+
+def test_batched_transcriber_on_offloaded_engine(cfg, params, tiny_tokenizer):
+    """BatchedTranscriber.feed_mel on an offloaded engine self-heals too."""
+    from voxtral_tpu.parallel.serving import BatchedTranscriber
+    from voxtral_tpu.models.params import encoder_param_source
+
+    src = encoder_param_source(cfg, "", seed=0)
+
+    def run(offload):
+        eng = _fresh_engine(cfg, params, tiny_tokenizer, src)
+        if offload:
+            eng.offload_encoder()
+        tr = BatchedTranscriber(eng, 2)
+        rng = np.random.default_rng(0)
+        mel = (rng.standard_normal((2, 320, cfg.encoder.n_mel)) * 0.3
+               ).astype(np.float32)
+        tr.transcribe(mel, interval_frames=160)
+        return tr.tokens
+
+    assert run(True) == run(False)

@@ -436,3 +436,33 @@ def test_pool_print_stats(engine, capsys):
     err = capsys.readouterr().err
     assert "Encoder:" in err and "mel ->" in err
     assert "slot 0:" in err
+    assert "Memory:" in err and "GiB resident" in err
+
+
+def test_memory_ledger(engine):
+    """Shape-derived HBM ledger (vox_metal_memory_used analog): engine-level
+    weight bytes match the real arrays; pool-level adds the pool's caches;
+    per-stream cache formulas match the actual batched cache arrays."""
+    import jax
+
+    led = engine.memory_ledger()
+    want_dec = int(sum(
+        x.nbytes for x in jax.tree.leaves(engine.params["decoder"])
+    ))
+    assert led["params_decoder"] == want_dec
+    assert led["params_total"] >= (
+        led["params_decoder"] + led["params_encoder"] + led["params_adapter"]
+    )
+
+    pool = StreamPool(engine, 3, dec_kv_ring=64, enc_mode="ring")
+    pled = pool.memory_ledger()
+    # the per-stream formula at the POOL's ring geometry matches its arrays
+    cfg = engine.cfg
+    per = (2 * cfg.decoder.n_layers * cfg.decoder.n_kv_heads * 64
+           * cfg.decoder.head_dim * pool.dec_cache.k.dtype.itemsize)
+    assert pled["pool_dec_cache"] == 3 * per
+    assert pled["total_resident"] == pled["params_total"] + pled["pool_total"]
+    # window mode accounts xwin instead of an encoder KV ring
+    pool_w = StreamPool(engine, 3, dec_kv_ring=64, enc_mode="window")
+    pled_w = pool_w.memory_ledger()
+    assert "pool_xwin" in pled_w and "pool_enc_cache" not in pled_w

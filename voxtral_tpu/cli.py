@@ -170,6 +170,19 @@ def main(argv=None):
         engine.set_delay(args.delay)
     if v:
         print(f"Model loaded in {time.monotonic() - t0:.1f}s", file=sys.stderr)
+        # HBM ledger at startup (the reference's "Metal GPU memory used"
+        # line, voxtral.c:247-249) — shape-derived, since the axon backend
+        # has no device.memory_stats()
+        led = engine.memory_ledger()
+        gib = 1 << 30
+        print(
+            f"HBM: {led['params_total'] / gib:.2f} GiB weights resident; "
+            f"KV caches {led['dec_cache_bytes_per_stream'] / (1 << 20):.0f} "
+            f"(dec ring {engine.dec_kv_ring}) + "
+            f"{led['enc_cache_bytes_per_stream'] / (1 << 20):.0f} MiB/stream "
+            f"(enc ring {engine.enc_kv_ring})",
+            file=sys.stderr,
+        )
 
     if args.input and args.bulk_encode:
         # offline batch path: one bulk-encode program + decode bursts; no

@@ -266,3 +266,31 @@ def load_params(model_dir: str, cfg: VoxtralConfig, verbose: bool = False) -> Py
     jax.block_until_ready(dec)
     log("decoder in HBM")
     return {"encoder": enc, "adapter": ada, "decoder": dec}
+
+
+def encoder_param_source(cfg: VoxtralConfig, model_dir: str = "",
+                         seed: int = 0):
+    """The engine's `param_source` hook (phase-lifetime weight paging,
+    engine.offload_encoder): a closure re-materializing ONLY the
+    encoder+adapter weights — re-read from the checkpoint when `model_dir`
+    holds one, else re-init mirroring `init_params(cfg, seed)`'s key split so
+    the restored random weights are bit-identical to the originals.  One
+    source of truth for both the initial load's checkpoint detection and
+    every later restore (they must agree, or pass-2+ transcripts silently
+    diverge from pass 1)."""
+    import os
+
+    ckpt = os.path.join(model_dir, "consolidated.safetensors")
+    use_checkpoint = bool(model_dir) and os.path.exists(ckpt)
+
+    def source():
+        if use_checkpoint:
+            sf = SafetensorsFile(ckpt)
+            return {"encoder": load_encoder_params(sf, cfg),
+                    "adapter": load_adapter_params(sf, cfg)}
+        k0, k1, _ = jax.random.split(jax.random.PRNGKey(seed), 3)
+        return {"encoder": init_encoder_params(cfg, k0),
+                "adapter": init_adapter_params(cfg, k1)}
+
+    source.use_checkpoint = use_checkpoint
+    return source

@@ -376,6 +376,27 @@ class StreamPool:
         del s.queue[:n]
         return out
 
+    def memory_ledger(self) -> dict:
+        """Pool HBM ledger (bytes): the engine's shape-derived weight ledger
+        plus this pool's actual device arrays (KV caches, adapter-row rings,
+        window context, conv tails).  Replaces OOM-dump archaeology — the
+        axon backend has no device.memory_stats() (engine.memory_ledger)."""
+        led = dict(self.eng.memory_ledger())
+        pool = 0
+        for name, arr in (
+            ("enc_cache", self.enc_cache), ("dec_cache", self.dec_cache),
+            ("row_ring", self.row_ring), ("xwin", self.xwin),
+            ("tails", self.tails),
+        ):
+            if arr is None:
+                continue
+            b = int(sum(x.nbytes for x in jax.tree.leaves(arr)))
+            led[f"pool_{name}"] = b
+            pool += b
+        led["pool_total"] = pool
+        led["total_resident"] = led["params_total"] + pool
+        return led
+
     def print_stats(self):
         """Pool-level parser-compatible stderr metric lines (the VoxStream
         print_stats analog, voxtral.c:1306-1317) plus one per-slot summary
@@ -386,6 +407,14 @@ class StreamPool:
 
         if stream_mod.verbose < 1:
             return
+        led = self.memory_ledger()
+        gib = 1 << 30
+        print(
+            f"Memory: {led['total_resident'] / gib:.2f} GiB resident "
+            f"({led['params_total'] / gib:.2f} weights + "
+            f"{led['pool_total'] / gib:.2f} pool caches, {self.b} slots)",
+            file=sys.stderr,
+        )
         total_rows = sum(s.w_count for s in self.slots)
         total_text = sum(s.n_text_tokens for s in self.slots)
         total_gen = sum(s.n_generated for s in self.slots)
@@ -485,9 +514,12 @@ class StreamPool:
                 w_pos[i] = s.w_count % self.row_r
 
             tk = jnp.asarray(takers)
+            # _encp()/_adap() (not params[...]): they auto-restore weights an
+            # offload_encoder() paged out — a pool must stay tickable across
+            # the engine's phase-lifetime paging (test_paging.py invariant)
             if self.enc_mode == "ring":
                 self.tails, self.enc_cache, self.row_ring = pool_encode_ring(
-                    eng.params["encoder"], eng.params["adapter"], cfg,
+                    eng._encp(), eng._adap(), cfg,
                     jnp.asarray(mel), self.tails, self.enc_cache,
                     jnp.asarray(enc_pos), tk, self.row_ring,
                     jnp.asarray(w_pos),
@@ -495,7 +527,7 @@ class StreamPool:
             else:
                 self.tails, self.xwin, n_new, self.row_ring = \
                     pool_encode_window(
-                        eng.params["encoder"], eng.params["adapter"], cfg,
+                        eng._encp(), eng._adap(), cfg,
                         jnp.asarray(mel), self.tails, self.xwin,
                         jnp.asarray(self.n_ctx), tk, self.row_ring,
                         jnp.asarray(w_pos),

@@ -179,9 +179,11 @@ class BatchedTranscriber:
         t0 = time.monotonic()
         t_new = mel.shape[1]
         i = 0
+        # _encp()/_adap() (not params[...]): auto-restore after a paging
+        # offload_encoder() — encode paths must self-heal (test_paging.py)
         for b in decompose(t_new, eng.buckets):
             out, self.c0_tail = bconv0(
-                eng.params["encoder"], cfg, jnp.asarray(mel[:, i : i + b]),
+                eng._encp(), cfg, jnp.asarray(mel[:, i : i + b]),
                 self.c0_tail,
             )
             self.c0_backlog.append(out)
@@ -189,9 +191,9 @@ class BatchedTranscriber:
         avail = sum(a.shape[1] for a in self.c0_backlog)
         for b in decompose(avail // 2, eng.buckets):
             feed = self._take(self.c0_backlog, 2 * b)
-            c1, self.c1_tail = bconv1(eng.params["encoder"], cfg, feed, self.c1_tail)
+            c1, self.c1_tail = bconv1(eng._encp(), cfg, feed, self.c1_tail)
             y, self.enc_cache = bencode(
-                eng.params["encoder"], cfg, c1, self.enc_cache,
+                eng._encp(), cfg, c1, self.enc_cache,
                 jnp.full((self.b,), self.enc_pos, jnp.int32),
             )
             self.enc_pos += b
@@ -199,7 +201,7 @@ class BatchedTranscriber:
         avail_e = sum(a.shape[1] for a in self.enc_backlog)
         for g in decompose(avail_e // 4, eng.buckets):
             x = self._take(self.enc_backlog, 4 * g)
-            rows = badapter(eng.params["adapter"], cfg, x)
+            rows = badapter(eng._adap(), cfg, x)
             self.adapter_bufs.append(rows.astype(jnp.float32))
             self.total_adapter += g
         jax.block_until_ready(self.enc_cache.k)

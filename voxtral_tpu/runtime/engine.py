@@ -182,6 +182,12 @@ class VoxtralEngine:
         biggest allocation."""
         if "encoder" in self.params and "adapter" in self.params:
             return
+        if self.param_source is None:
+            raise RuntimeError(
+                "encoder/adapter weights are missing and the engine has no "
+                "param_source hook to re-materialize them (construct the "
+                "engine with param_source=... to enable paging/restore)"
+            )
         fresh = self.param_source()
         self.params.setdefault("encoder", fresh["encoder"])
         self.params.setdefault("adapter", fresh["adapter"])
@@ -195,6 +201,37 @@ class VoxtralEngine:
         if "adapter" not in self.params:
             self.restore_encoder()
         return self.params["adapter"]
+
+    # -- memory accounting -----------------------------------------------------
+    def memory_ledger(self) -> dict:
+        """Shape-derived HBM byte ledger (the vox_metal_memory_used analog,
+        voxtral_metal.m:3832, printed at startup voxtral.c:247-249).  The
+        axon dev backend does not support ``device.memory_stats()``, so
+        callers (CLI, StreamPool.print_stats, bench.py) account residency
+        from the arrays themselves: weights by param group (quantized
+        storage counts its real packed bytes), device-resident derived
+        constants, and per-stream KV-cache bytes at this engine's ring
+        geometry.  All values are bytes."""
+        def nbytes(tree) -> int:
+            return int(sum(x.nbytes for x in jax.tree.leaves(tree)))
+
+        d, e = self.cfg.decoder, self.cfg.encoder
+        led = {f"params_{k}": nbytes(v) for k, v in self.params.items()}
+        led["derived_consts"] = nbytes(
+            [self.embed_bos, self.embed_pad, list(self._ada.values())]
+        )
+        led["params_total"] = sum(
+            v for k, v in led.items() if k.startswith("params_")
+        ) + led["derived_consts"]
+        led["dec_cache_bytes_per_stream"] = (
+            2 * d.n_layers * d.n_kv_heads * self.dec_kv_ring * d.head_dim
+            * jnp.dtype(self.cfg.kvdtype).itemsize
+        )
+        led["enc_cache_bytes_per_stream"] = (
+            2 * e.n_layers * e.n_kv_heads * self.enc_kv_ring * e.head_dim
+            * jnp.dtype(self.cfg.enc_kvdtype).itemsize
+        )
+        return led
 
     # -- cache factories -----------------------------------------------------
     def new_dec_cache(self) -> KVCache:
