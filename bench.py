@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """Benchmark: aggregate transcription throughput per chip (x-realtime).
 
-Workload (BASELINE.json baseline is 16 streams; default here 32): N
+Workload (BASELINE.json baseline is 16 streams; default here 56): N
 streams of a 60 s clip transcribed on one chip,
 batch-mode schedule — full pipeline: mel, conv stem, 32-layer encoder,
 adapter, 26-layer decoder greedy bursts.  Primary metric: x-realtime per
@@ -38,10 +38,12 @@ REF_X_REALTIME = 1.0 / 0.3998  # reference corpus RTF (SPEED.md:16)
 
 def _default_streams(mode: str) -> int:
     """One source of truth for the per-mode default stream count (used by
-    both the supervisor's OOM-shed logic and main()).  bf16 36: the full
-    pipeline fits (44 OOMs at decode-cache build); load-phase OOMs no
-    longer shed the headline, so the thin margin is safe."""
-    return 56 if mode == "int4" else 36
+    both the supervisor's OOM-shed logic and main()).  bf16 56: with
+    phase-lifetime weight paging (engine.offload_encoder) + the unrolled
+    batched prefill, 48/56/64 all fit end-to-end (measured 143/192/202x,
+    docs/PERF.md round 3) — the old 36 predates the paging fix.  The
+    supervisor sheds 8 streams per RESOURCE_EXHAUSTED attempt as the net."""
+    return 56
 
 
 def _supervised() -> int:
@@ -238,16 +240,16 @@ def _encode_clips_batched(engine, mel: np.ndarray, enc_batch: int,
 
 
 def main():
-    # 32 streams bf16 on a 16 GB v5e: decode is weight-read-bound, so batch
-    # amortizes weight reads (14.91 ms/step at B=32 vs 12.45 at B=16, ring
-    # 896; B=44/48 reach 209-220x in the DECODE-ONLY microbench).  But the
-    # full pipeline also holds the [B, n_audio, 3072] f32 adapter rows:
-    # 40/44/48 all OOM end-to-end (measured); 32 is the sweet spot that
-    # fits the whole bench.  The supervisor sheds 8 streams per
-    # RESOURCE_EXHAUSTED attempt as a net.
+    # 56 streams bf16 on a 16 GB v5e: decode is weight-read-bound, so batch
+    # amortizes weight reads (16.45 ms/step at B=56 vs 12.45 at B=16, ring
+    # 896).  Phase-lifetime weight paging (the ~2 GB encoder+adapter leave
+    # HBM for the decode phase) + the unrolled batched prefill (the layer
+    # scan copied the whole stacked cache 2x as HLO temps under stream-vmap)
+    # are what make 48/56/64 fit end-to-end — see docs/PERF.md round 3.
+    # The supervisor sheds 8 streams per RESOURCE_EXHAUSTED attempt as a net.
     # BENCH_MODE=int4: the production high-density serving mode — encoder
     # exact bf16, decoder int4 (Pallas kernel) + fp8 KV, no bf16 decoder
-    # masters resident, so streams scale to 56 end-to-end (225.8x measured;
+    # masters resident (225.8x measured at 56 streams pre-fp8-routing-fix;
     # decode-only plateau ~454x at B=64-80, docs/PERF.md).  Transcripts may
     # differ from bf16 on near-tied tokens, so this is not the default
     # headline.
@@ -303,8 +305,14 @@ def main():
     eng_kwargs = dict(buckets=(512, 256, 64, 16, 4, 1), enc_kv_ring=1280,
                       dec_kv_ring=int(os.environ.get("BENCH_DEC_RING", "896")))
 
+    # ONE checkpoint decision shared by the initial load and every later
+    # restore_encoder() (the paging hook): if they drift, pass-2+ transcripts
+    # silently diverge from pass 1 (ADVICE r3)
+    from voxtral_tpu.models.params import encoder_param_source
+
     model_dir = os.environ.get("VOXTRAL_MODEL_DIR", "")
-    if model_dir and os.path.exists(os.path.join(model_dir, "consolidated.safetensors")):
+    encoder_source = encoder_param_source(cfg, model_dir, seed=0)
+    if encoder_source.use_checkpoint:
         print(f"loading real weights from {model_dir}", file=sys.stderr)
         params = load_params(model_dir, cfg)
         tok = TekkenTokenizer.load(os.path.join(model_dir, "tekken.json"))
@@ -313,32 +321,6 @@ def main():
               "compute/memory traffic)", file=sys.stderr, flush=True)
         params = init_params(cfg, seed=0)
         tok = TekkenTokenizer([bytes([i % 256]) for i in range(1000)], 1000)
-
-    def encoder_source():
-        """restore_encoder() hook: re-materialize ONLY the encoder+adapter
-        weights after the decode phase ran with them paged out of HBM
-        (engine.offload_encoder()).  Mirrors init_params' key split so the
-        restored random weights are bit-identical to the originals."""
-        if model_dir and os.path.exists(
-                os.path.join(model_dir, "consolidated.safetensors")):
-            from voxtral_tpu.io.safetensors import SafetensorsFile
-            from voxtral_tpu.models.params import (
-                load_adapter_params,
-                load_encoder_params,
-            )
-
-            sf = SafetensorsFile(
-                os.path.join(model_dir, "consolidated.safetensors"))
-            return {"encoder": load_encoder_params(sf, cfg),
-                    "adapter": load_adapter_params(sf, cfg)}
-        from voxtral_tpu.models.params import (
-            init_adapter_params,
-            init_encoder_params,
-        )
-
-        k0, k1, _ = jax.random.split(jax.random.PRNGKey(0), 3)
-        return {"encoder": init_encoder_params(cfg, k0),
-                "adapter": init_adapter_params(cfg, k1)}
 
     engine = VoxtralEngine(
         cfg, params, tokenizer=tok, param_source=encoder_source,
@@ -375,13 +357,16 @@ def main():
 
     mem_ledger = {}
 
-    def logmem(tag):
-        """Device HBM ledger at phase boundaries (when the backend exposes
-        it) — the 36-vs-40-stream OOM ceiling sits ~3 GB below the naive
-        weights+rings+rows sum, so the real bytes_in_use is the datum."""
+    def logmem(tag, *extra_arrays):
+        """HBM ledger at phase boundaries: backend bytes_in_use when the
+        runtime exposes it, PLUS the shape-derived ledger
+        (engine.memory_ledger + this run's big buffers) which works
+        everywhere — the axon backend has no memory_stats(), and the
+        36-vs-40-stream OOM ceiling sat ~3 GB above what OOM-dump
+        archaeology suggested, so both views are recorded."""
+        gib = 1 << 30
         try:
             st = dev.memory_stats()
-            gib = 1 << 30
             mem_ledger[f"hbm_gib_{tag.split()[-1]}"] = round(
                 st["bytes_in_use"] / gib, 2)
             mem_ledger["hbm_gib_peak"] = round(
@@ -391,6 +376,14 @@ def main():
                 f"limit {st.get('bytes_limit', 0) / gib:.2f} GiB")
         except Exception:
             pass
+        led = engine.memory_ledger()
+        resident = led["params_total"] + sum(
+            int(sum(x.nbytes for x in jax.tree.leaves(a)))
+            for a in extra_arrays if a is not None
+        )
+        mem_ledger[f"ledger_gib_{tag.split()[-1]}"] = round(resident / gib, 2)
+        log(f"ledger[{tag}]: {resident / gib:.2f} GiB resident "
+            f"(weights {led['params_total'] / gib:.2f})")
 
     # Encode-phase mode: "inc" (default) = the incremental fused ring path,
     # sequential with ONE shared cache — measured fastest per clip (~107 ms,
@@ -472,7 +465,7 @@ def main():
         # on the axon tunnel — CLAUDE.md)
         _ = np.asarray(adapter[0, 0, :1])          # [B, n_audio, dim]
         t_enc = time.monotonic()
-        logmem(f"{label} post-encode")
+        logmem(f"{label} post-encode", adapter)
 
         # Phase D: batched decode.  Page the encoder+adapter weights (~2 GB
         # bf16) out of HBM first: the decode step never reads them, and at 44
@@ -516,7 +509,7 @@ def main():
             if steps % 256 == 0 or pos >= n_audio:
                 log(f"{label} decode {pos}/{n_audio}")
         wall = time.monotonic() - t_start
-        logmem(f"{label} post-decode")
+        logmem(f"{label} post-decode", adapter, dec_cache)
         del dec_cache
         return wall, t_enc - t_start, wall - (t_enc - t_start), steps, tokens
 
@@ -762,6 +755,14 @@ def main():
             dec_kv_ring=1024, enc_mode="ring", enc_kv_ring=896,
             enc_kv_dtype="float8_e4m3fn", dec_kv_dtype="float8_e4m3fn",
         ))
+        # the BASELINE.md conjunction: >=16 live streams AND p50 < 300 ms at
+        # -I 0.5 on one chip.  Same fp8 ring recipe as load-ring at 16 slots
+        # (1.9 GB enc rings + 0.9 GB dec rings next to the 8.9 GB weights)
+        load_extra.update(run_load_safe(
+            "load-ring16", 16, 0.5, ticks,
+            dec_kv_ring=1024, enc_mode="ring", enc_kv_ring=896,
+            enc_kv_dtype="float8_e4m3fn", dec_kv_dtype="float8_e4m3fn",
+        ))
 
     total_audio = n_streams * seconds
     x_rt = total_audio / wall
@@ -778,33 +779,64 @@ def main():
         "p50_token_latency_ms_I0.5": round(p50, 1),
         "p90_token_latency_ms_I0.5": round(p90, 1),
         **load_extra,
+        # MEASURED step times for the quantized rungs (mid-clip fill) --
         "int8_decoder_step_ms_batched": round(int8_step_ms, 3),
         "int8_streams": n_int8,
-        "int8_aggregate_x_realtime_est": (
-            round(n_int8 * 80.0 / int8_step_ms, 1) if int8_step_ms > 0 else -1
-        ),
         "int4_fp8kv_decoder_step_ms_batched": round(int4_step_ms, 3),
-        "int4_fp8kv_aggregate_x_realtime_est": (
-            round(n_int4 * 80.0 / int4_step_ms, 1) if int4_step_ms > 0 else -1
-        ),
         "bf16w_fp8kv_decoder_step_ms_batched": round(fp8_step_ms, 3),
         "bf16w_fp8kv_streams": n_fp8,
-        "bf16w_fp8kv_aggregate_x_realtime_est": (
-            round(n_fp8 * 80.0 / fp8_step_ms, 1) if fp8_step_ms > 0 else -1
-        ),
+        # single-step EXTRAPOLATIONS, segregated from measured values: a
+        # round-3 extrapolation exactly like these hid a 3x fp8-flash
+        # collapse; the measured anchor is `BENCH_MODE=int4`'s end-to-end
+        # headline, echoed below when a recorded run exists
+        "step_probe_estimates": {
+            "int8_aggregate_x_realtime": (
+                round(n_int8 * 80.0 / int8_step_ms, 1)
+                if int8_step_ms > 0 else -1
+            ),
+            "int4_fp8kv_aggregate_x_realtime": (
+                round(n_int4 * 80.0 / int4_step_ms, 1)
+                if int4_step_ms > 0 else -1
+            ),
+            "bf16w_fp8kv_aggregate_x_realtime": (
+                round(n_fp8 * 80.0 / fp8_step_ms, 1)
+                if fp8_step_ms > 0 else -1
+            ),
+        },
         **mem_ledger,
         "device": str(dev),
-        "weights": "real" if model_dir else "random",
+        "weights": "real" if encoder_source.use_checkpoint else "random",
         "mode": mode,
     }
-    print(json.dumps({
+    rec_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "docs", "bench_int4_e2e.json")
+    if mode == "bf16" and os.path.exists(rec_path):
+        # the measured int4 END-TO-END anchor from the last
+        # `BENCH_MODE=int4` run on this machine (not an estimate)
+        try:
+            with open(rec_path) as f:
+                extra["int4_e2e_last_measured"] = json.load(f)
+        except Exception:
+            pass
+    result = {
         "metric": f"aggregate_x_realtime_per_chip_60s_{n_streams}streams"
                   + ("_int4" if mode == "int4" else ""),
         "value": round(x_rt, 2),
         "unit": "x_realtime",
         "vs_baseline": round(x_rt / REF_X_REALTIME, 2),
         "extra": extra,
-    }))
+    }
+    if mode == "int4":
+        # record the measured end-to-end for bf16-mode runs to echo
+        try:
+            with open(rec_path, "w") as f:
+                json.dump({"x_realtime": round(x_rt, 2),
+                           "streams": n_streams,
+                           "wall_s": round(wall, 3),
+                           "step_ms": round(step_ms, 3)}, f)
+        except Exception:
+            pass
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -89,6 +89,11 @@ def main():
     params = init_params(cfg, seed=0)
     jax.block_until_ready(params)
     dp = params["decoder"]
+    # this tool profiles the DECODE phase only; drop the ~2 GB
+    # encoder+adapter weights so B>=48 probes fit next to the bf16 decoder
+    # (the bench pipeline pages them out the same way — engine.offload_encoder)
+    params.pop("encoder", None)
+    params.pop("adapter", None)
     ada = dmod.ada_scales(dp, cfg)
 
     # DP_QUANT=int8|int4: profile the quantized serving path's terms (the
