@@ -22,7 +22,10 @@ across an in-jit fori/scan where the per-call cost is small (CLAUDE.md
 timing rules for the axon tunnel).
 
 Usage: python tools/decode_profile.py   [env: DP_BATCH=32 DP_RING=896
-       DP_POS=500 DP_BURST=64 DP_KV=bfloat16]
+       DP_POS=500 DP_BURST=64 DP_KV=bfloat16
+       DP_TERMS=weights,logits,attn,xla,rowwrite,matmuls,step (subset to
+       run — at B=56 the full set's probes OOM next to each other; split
+       across two invocations)]
 """
 
 from __future__ import annotations
@@ -118,6 +121,14 @@ def main():
         print(f"quant={quant_mode}", file=sys.stderr, flush=True)
 
     gib = 1 << 30
+    # every term amortizes REP iterations inside ONE jitted dispatch: a
+    # single-dispatch probe on this tunnel is ~5 ms of pure dispatch
+    # latency (verify SKILL round-2 note), which at B>=32 is the same
+    # order as the term being measured
+    rep = int(os.environ.get("DP_REP", "4"))
+    terms = set(os.environ.get(
+        "DP_TERMS", "weights,logits,attn,xla,rowwrite,matmuls,step"
+    ).split(","))
 
     # --- term: pure weight stream ---------------------------------------
     layer_bytes = sum(
@@ -129,32 +140,53 @@ def main():
 
     @jax.jit
     def weight_stream(lyrs, emb):
-        acc = jnp.float32(0)
-        for v in jax.tree.leaves(lyrs):
-            acc += jnp.sum(v.astype(jnp.float32))
-        return acc + jnp.sum(emb.astype(jnp.float32))
+        # the carry feeds back into every element read, so XLA cannot
+        # hoist the (loop-invariant) sums out of the scan — each of the
+        # rep iterations must re-stream all weight bytes from HBM
+        def body(acc, _):
+            s = jnp.float32(0)
+            for v in jax.tree.leaves(lyrs):
+                s += jnp.sum((v.astype(jnp.float32) + acc * 1e-30))
+            s += jnp.sum((emb.astype(jnp.float32) + acc * 1e-30))
+            return s, None
+        acc, _ = jax.lax.scan(body, jnp.float32(0), None, length=rep)
+        return acc
 
-    t_w = timeit(lambda: weight_stream(dp["layers"], dp["tok_embeddings"]))
-    wb = (layer_bytes + embed_bytes) / gib
-    print(f"weights : {1000*t_w:7.2f} ms   ({wb:.2f} GiB -> "
-          f"{wb/t_w:.0f} GiB/s)")
+    t_w = 0.0
+    if "weights" in terms:
+        t_w = timeit(
+            lambda: weight_stream(dp["layers"], dp["tok_embeddings"]), n=2
+        ) / rep
+        wb = (layer_bytes + embed_bytes) / gib
+        print(f"weights : {1000*t_w:7.2f} ms   ({wb:.2f} GiB -> "
+              f"{wb/t_w:.0f} GiB/s)")
 
     # --- term: logits + argmax ------------------------------------------
-    x_l = jnp.zeros((batch, d.dim), jnp.float32)
+    x_l = jnp.ones((rep, batch, d.dim), jnp.float32) * \
+        jnp.arange(rep, dtype=jnp.float32)[:, None, None]
 
     @jax.jit
-    def logits_fn(dpp, x):
-        return jax.vmap(
-            lambda xi: dmod.final_logits(dpp, cfg, xi[None, :])
-        )(x).argmax(-1)
+    def logits_fn(dpp, xs):
+        def body(_, x):
+            toks = jax.vmap(
+                lambda xi: dmod.final_logits(dpp, cfg, xi[None, :])
+            )(x).argmax(-1)
+            return 0, toks
+        _, toks = jax.lax.scan(body, 0, xs)
+        return toks
 
-    t_l = timeit(lambda: logits_fn(dp, x_l))
-    print(f"logits  : {1000*t_l:7.2f} ms   ({embed_bytes/gib:.2f} GiB -> "
-          f"{embed_bytes/gib/t_l:.0f} GiB/s)")
+    t_l = 0.0
+    if "logits" in terms:
+        t_l = timeit(lambda: logits_fn(dp, x_l), n=2) / rep
+        print(f"logits  : {1000*t_l:7.2f} ms   ({embed_bytes/gib:.2f} GiB -> "
+              f"{embed_bytes/gib/t_l:.0f} GiB/s)")
 
     # --- terms over a realistically-filled batched cache ----------------
-    cache = sv.batched_dec_cache(cfg, batch, ring)
-    cache = type(cache)(jnp.ones_like(cache.k), jnp.ones_like(cache.v))
+    # build the filled cache directly (zeros-then-ones_like holds TWO
+    # copies of the 5.3 GiB B=56 cache and OOMs next to the weights)
+    kv_shape = (batch, d.n_layers, d.n_kv_heads, ring, d.head_dim)
+    cache = sv.KVCache(jnp.ones(kv_shape, cfg.kvdtype),
+                       jnp.ones(kv_shape, cfg.kvdtype))
     pos = jnp.full((batch,), pos_v, jnp.int32)
     q = jnp.zeros((batch, d.n_heads, d.head_dim), jnp.bfloat16)
     krow = jnp.zeros((batch, d.n_kv_heads, d.head_dim), cfg.kvdtype)
@@ -163,27 +195,35 @@ def main():
 
     @partial(jax.jit, static_argnames=("flat",))
     def attn26(k_all, v_all, q, pos, flat):
-        def body(li, acc):
-            out = flash_decode_attention_batched(
-                q, k_all, v_all, jnp.int32(li), pos,
-                window=d.window, block=blk, out_dtype=jnp.bfloat16,
-                flat=flat,
-            )
-            return acc + out.astype(jnp.float32)
+        # rep iterations in one dispatch; the q perturbation by the carry
+        # keeps the kernel calls loop-variant (un-hoistable)
+        def rbody(r, acc):
+            qq = q + acc.astype(q.dtype) * jnp.asarray(1e-30, q.dtype)
+            def body(li, acc2):
+                out = flash_decode_attention_batched(
+                    qq, k_all, v_all, jnp.int32(li), pos,
+                    window=d.window, block=blk, out_dtype=jnp.bfloat16,
+                    flat=flat,
+                )
+                return acc2 + out.astype(jnp.float32)
+            return jax.lax.fori_loop(0, d.n_layers, body, acc * 1e-30)
         return jax.lax.fori_loop(
-            0, d.n_layers, body,
+            0, rep, rbody,
             jnp.zeros((batch, d.n_heads, d.head_dim), jnp.float32),
         )
 
     valid = min(pos_v + 1, d.window, ring)
     kv_gib = 2 * batch * d.n_layers * d.n_kv_heads * valid * d.head_dim * \
         cache.k.dtype.itemsize / gib
-    for flat in (False, True):
-        t_a = timeit(lambda: attn26(cache.k, cache.v, q, pos, flat))
-        tag = "flat" if flat else "grid"
-        print(f"attn/{tag}: {1000*t_a:7.2f} ms   (26 flash launches; "
-              f"~{kv_gib:.2f} GiB live KV -> {kv_gib/t_a:.0f} GiB/s)",
-              flush=True)
+    t_a = 0.0
+    if "attn" in terms:
+        for flat in (False, True):
+            t_a = timeit(lambda: attn26(cache.k, cache.v, q, pos, flat),
+                         n=2) / rep
+            tag = "flat" if flat else "grid"
+            print(f"attn/{tag}: {1000*t_a:7.2f} ms   (26 flash launches; "
+                  f"~{kv_gib:.2f} GiB live KV -> {kv_gib/t_a:.0f} GiB/s)",
+                  flush=True)
 
     # same term through the XLA ring-attention path (what auto picks at
     # cap <= FLASH_RING_THRESHOLD): reads the WHOLE ring every layer
@@ -192,30 +232,39 @@ def main():
     @jax.jit
     def attn26_xla(k_all, v_all, q, pos):
         def one(qi, ki_all, vi_all, pi):
-            def body(li, acc):
-                k_ring = jax.lax.dynamic_index_in_dim(
-                    ki_all, li, axis=0, keepdims=False
+            def rbody(r, acc0):
+                qq = qi + acc0.astype(qi.dtype) * jnp.asarray(
+                    1e-30, qi.dtype)
+                def body(li, acc):
+                    k_ring = jax.lax.dynamic_index_in_dim(
+                        ki_all, li, axis=0, keepdims=False
+                    )
+                    v_ring = jax.lax.dynamic_index_in_dim(
+                        vi_all, li, axis=0, keepdims=False
+                    )
+                    out = ring_attention(
+                        qq[None].astype(jnp.bfloat16), k_ring, v_ring, pi,
+                        window=d.window, out_dtype=jnp.bfloat16,
+                    )
+                    return acc + out[0].reshape(
+                        d.n_heads, d.head_dim).astype(jnp.float32)
+                return jax.lax.fori_loop(
+                    0, d.n_layers, body, acc0 * 1e-30
                 )
-                v_ring = jax.lax.dynamic_index_in_dim(
-                    vi_all, li, axis=0, keepdims=False
-                )
-                out = ring_attention(
-                    qi[None].astype(jnp.bfloat16), k_ring, v_ring, pi,
-                    window=d.window, out_dtype=jnp.bfloat16,
-                )
-                return acc + out[0].reshape(
-                    d.n_heads, d.head_dim).astype(jnp.float32)
             return jax.lax.fori_loop(
-                0, d.n_layers, body,
+                0, rep, rbody,
                 jnp.zeros((d.n_heads, d.head_dim), jnp.float32),
             )
         return jax.vmap(one)(q, k_all, v_all, pos)
 
-    t_ax = timeit(lambda: attn26_xla(cache.k, cache.v, q, pos))
-    full_gib = 2 * batch * d.n_layers * d.n_kv_heads * ring * d.head_dim * \
-        cache.k.dtype.itemsize / gib
-    print(f"attn/xla: {1000*t_ax:7.2f} ms   (whole-ring reads; {full_gib:.2f} "
-          f"GiB -> {full_gib/t_ax:.0f} GiB/s)")
+    if "xla" in terms:
+        t_ax = timeit(
+            lambda: attn26_xla(cache.k, cache.v, q, pos), n=2
+        ) / rep
+        full_gib = 2 * batch * d.n_layers * d.n_kv_heads * ring * \
+            d.head_dim * cache.k.dtype.itemsize / gib
+        print(f"attn/xla: {1000*t_ax:7.2f} ms   (whole-ring reads; "
+              f"{full_gib:.2f} GiB -> {full_gib/t_ax:.0f} GiB/s)")
 
     # --- term: 26 batched row writes (donated carry — an undonated copy
     # of the 3 GB cache next to the attn probes OOMs a 16 GB chip) --------
@@ -224,22 +273,26 @@ def main():
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def write26(k_all, v_all, krow, pos):
-        def body(li, carry):
-            k_all, v_all = carry
-            f = lambda ka, va, kr, vr, p: ring_rows_write(
-                ka, va, kr, vr, jnp.int32(li), p
-            )
-            k_all, v_all = jax.vmap(f)(k_all, v_all, krow, krow, pos)
-            return k_all, v_all
-        return jax.lax.fori_loop(0, d.n_layers, body, (k_all, v_all))
+        def rbody(r, carry):
+            def body(li, carry):
+                k_all, v_all = carry
+                f = lambda ka, va, kr, vr, p: ring_rows_write(
+                    ka, va, kr, vr, jnp.int32(li), p
+                )
+                k_all, v_all = jax.vmap(f)(k_all, v_all, krow, krow, pos)
+                return k_all, v_all
+            return jax.lax.fori_loop(0, d.n_layers, body, carry)
+        return jax.lax.fori_loop(0, rep, rbody, (k_all, v_all))
 
     def wfn():
         state["k"], state["v"] = write26(state["k"], state["v"], krow, pos)
         return state["k"]
 
-    t_rw = timeit(wfn)
-    print(f"rowwrite: {1000*t_rw:7.2f} ms   (26 batched Pallas row writes)",
-          flush=True)
+    t_rw = 0.0
+    if "rowwrite" in terms:
+        t_rw = timeit(wfn, n=2) / rep
+        print(f"rowwrite: {1000*t_rw:7.2f} ms   (26 batched Pallas row "
+              f"writes)", flush=True)
     state.clear()
 
     # --- term: matmul+norm chain, attention stubbed ---------------------
@@ -274,16 +327,21 @@ def main():
             gate = silu(g13[:, : d.hidden]) * g13[:, d.hidden:]
             ffn = quant.mm(gate.astype(cdtype), lp, "w2", cdtype, li=li)
             return x + ffn.astype(x.dtype), None
-        out, _ = jax.lax.scan(
-            body, x,
-            (xs_lp, ada, jnp.arange(d.n_layers, dtype=jnp.int32)),
-        )
-        return out
+        def rbody(r, xr):
+            out, _ = jax.lax.scan(
+                body, xr * 1e-3,
+                (xs_lp, ada, jnp.arange(d.n_layers, dtype=jnp.int32)),
+            )
+            return out
+        return jax.lax.fori_loop(0, rep, rbody, x)
 
     x_m = jnp.zeros((batch, d.dim), jnp.float32)
-    t_m = timeit(lambda: matmuls_only(dp["layers"], ada, x_m))
-    print(f"matmuls : {1000*t_m:7.2f} ms   (26-layer qkv/wo/w13/w2 chain, "
-          f"{layer_bytes/gib:.2f} GiB -> {layer_bytes/gib/t_m:.0f} GiB/s)")
+    t_m = 0.0
+    if "matmuls" in terms:
+        t_m = timeit(lambda: matmuls_only(dp["layers"], ada, x_m), n=2) / rep
+        print(f"matmuls : {1000*t_m:7.2f} ms   (26-layer qkv/wo/w13/w2 "
+              f"chain, {layer_bytes/gib:.2f} GiB -> "
+              f"{layer_bytes/gib/t_m:.0f} GiB/s)")
 
     # --- the real step ---------------------------------------------------
     cache2 = sv.batched_dec_cache(cfg, batch, ring)

@@ -22,17 +22,29 @@ OGG="$SAMPLES/antirez_speaking_italian_short.ogg"
 FIXDIR="$REPO/tests/fixtures/golden"
 
 if [[ -z "$MODEL_DIR" || ! -f "$MODEL_DIR/consolidated.safetensors" ]]; then
-  echo "SKIP: set VOXTRAL_MODEL_DIR to a real Voxtral checkpoint" >&2
-  exit 0
-fi
-if ! command -v ffmpeg >/dev/null; then
-  echo "SKIP: ffmpeg not available to decode the OGG sample" >&2
+  echo "SKIP: set VOXTRAL_MODEL_DIR to a Voxtral checkpoint (a synthetic one" >&2
+  echo "      from tools/make_fake_ckpt.py drives the fixture phase)" >&2
   exit 0
 fi
 
-WAV=$(mktemp /tmp/voxtral_test_XXXX.wav)
-trap 'rm -f "$WAV"' EXIT
-ffmpeg -loglevel quiet -y -i "$OGG" -ar 16000 -ac 1 "$WAV"
+# Synthetic checkpoints (tools/make_fake_ckpt.py drops a SYNTHETIC marker)
+# can't produce the Italian golden phrases — only the mechanical fixture
+# phase applies to them.  Real checkpoints run all three phases.
+PHRASE_PHASES=1
+if [[ -f "$MODEL_DIR/SYNTHETIC" ]]; then
+  echo "NOTE: synthetic checkpoint — golden-phrase phases skipped" >&2
+  PHRASE_PHASES=0
+elif ! command -v ffmpeg >/dev/null; then
+  echo "NOTE: no ffmpeg to decode the OGG sample — phrase phases skipped" >&2
+  PHRASE_PHASES=0
+fi
+
+WAV=""
+if [[ $PHRASE_PHASES == 1 ]]; then
+  WAV=$(mktemp /tmp/voxtral_test_XXXX.wav)
+  trap 'rm -f "$WAV"' EXIT
+  ffmpeg -loglevel quiet -y -i "$OGG" -ar 16000 -ac 1 "$WAV"
+fi
 
 # Golden phrases spanning beginning/middle/end of the clip — the reference's
 # full list (runtest.sh:27-39), chosen there to avoid known near-tie flip
@@ -62,20 +74,22 @@ check() {
   return $fails
 }
 
-echo "== batch mode (-i) ==" >&2
-OUT1=$(python -m voxtral_tpu.cli -d "$MODEL_DIR" -i "$WAV" --silent)
-check "$OUT1" batch
+if [[ $PHRASE_PHASES == 1 ]]; then
+  echo "== batch mode (-i) ==" >&2
+  OUT1=$(python -m voxtral_tpu.cli -d "$MODEL_DIR" -i "$WAV" --silent)
+  check "$OUT1" batch
 
-echo "== streaming mode (--stdin -I 0.1, exercises ring compaction) ==" >&2
-OUT2=$(ffmpeg -loglevel quiet -i "$WAV" -f s16le -ar 16000 -ac 1 - |
-  python -m voxtral_tpu.cli -d "$MODEL_DIR" --stdin -I 0.1 --silent)
-check "$OUT2" streaming
+  echo "== streaming mode (--stdin -I 0.1, exercises ring compaction) ==" >&2
+  OUT2=$(ffmpeg -loglevel quiet -i "$WAV" -f s16le -ar 16000 -ac 1 - |
+    python -m voxtral_tpu.cli -d "$MODEL_DIR" --stdin -I 0.1 --silent)
+  check "$OUT2" streaming
+fi
 
 if compgen -G "$FIXDIR/*.json" >/dev/null; then
   echo "== fixture comparison (tools/make_golden.py check) ==" >&2
   WAVDIR=$(mktemp -d /tmp/voxtral_fixwav_XXXX)
   trap 'rm -rf "$WAV" "$WAVDIR"' EXIT
-  cp "$WAV" "$WAVDIR/antirez_speaking_italian_short.wav"
+  [[ -n "$WAV" ]] && cp "$WAV" "$WAVDIR/antirez_speaking_italian_short.wav"
   for f in "$SAMPLES"/*.wav; do [[ -f "$f" ]] && cp "$f" "$WAVDIR/"; done
   python "$REPO/tools/make_golden.py" check -d "$MODEL_DIR" \
     --fixtures "$FIXDIR" --wav-dir "$WAVDIR"
@@ -85,4 +99,8 @@ else
   echo "  ./voxtral ... | python tools/make_golden.py ingest --name <clip>" >&2
 fi
 
-echo "OK: all golden phrases found in both modes"
+if [[ $PHRASE_PHASES == 1 ]]; then
+  echo "OK: all golden phrases found in both modes"
+else
+  echo "OK: fixture phase complete (phrase phases need a real checkpoint)"
+fi

@@ -119,6 +119,13 @@ class DecoderConfig:
     #            wins (12.66 vs 13.39 ms B=16); at cap >= 2048 the ring is
     #            mostly dead slots and flash's skipped reads win.
     attn_impl: str = "auto"
+    # Flash-decode ring block size (slots per DMA'd KV block).  None = the
+    # kernel's auto rule (ops/flash_decode.py).  Measured at B=56 x cap 896
+    # pos 806: block 448 reads the same bytes in 1/3 the walk steps and is
+    # ~9% faster than the auto-picked 128 (docs/PERF.md round 4) — but a
+    # bigger block reads MORE dead slots at early fill, so the default
+    # stays data-driven per the end-to-end step A/B, not this probe alone.
+    flash_block: Optional[int] = None
     # lax.scan unroll factor for the 26-layer stack (1 = no unrolling).
     # >1 trades compile time for less per-iteration scan overhead; A/B with
     # MB_UNROLL in tools/microbench.py before changing the default.

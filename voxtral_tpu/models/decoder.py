@@ -140,7 +140,7 @@ def _layer_step(
             # pallas operand — ops/flash_decode.py docstring)
             attn, k_all, v_all = flash_decode_write_attention(
                 q[0].astype(cdtype), k_all, v_all, k[0], v[0], li, pos0,
-                window=cfg.window, out_dtype=cdtype,
+                window=cfg.window, block=cfg.flash_block, out_dtype=cdtype,
             )
             attn = attn[None].reshape(t, q_dim)
         else:
