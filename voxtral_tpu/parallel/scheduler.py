@@ -31,7 +31,12 @@ Two encoder modes:
               reduction-order near-tie flips vs "ring".  `enc_ctx_extra`
               retains extra windows of context to push the truncation
               deeper.  This is the high-density serving mode (32+
-              streams).
+              streams).  Default enc_ctx_extra=2 is data-driven
+              (tools/window_ab.py at full size, 2x60 s clips, synthetic
+              checkpoint — the adversarial near-tie case): extra=0 flips
+              47/1k tokens vs exact ring mode, extra=2 flips ZERO, at
+              ~20% more encode compute and ~6 MB/stream of state (still
+              ~80x smaller than the ring it replaces).
 
 Slot-uniformity tricks shared with the round-2 pool: inactive/ineligible
 slots ride along in device calls with masked state restore; non-decodable
@@ -215,7 +220,7 @@ class StreamPool:
                  enc_kv_ring: Optional[int] = None,
                  enc_kv_dtype: Optional[str] = None,
                  dec_kv_dtype: Optional[str] = None,
-                 enc_ctx_extra: int = 0):
+                 enc_ctx_extra: int = 2):
         """enc_kv_ring/enc_kv_dtype/dec_kv_dtype override the engine's cache
         geometry/storage for THIS pool only — e.g. a high-density live pool
         can run ring-mode encoder caches in fp8 at a tight 896 cap (the
