@@ -38,12 +38,14 @@ REF_X_REALTIME = 1.0 / 0.3998  # reference corpus RTF (SPEED.md:16)
 
 def _default_streams(mode: str) -> int:
     """One source of truth for the per-mode default stream count (used by
-    both the supervisor's OOM-shed logic and main()).  bf16 56: with
+    both the supervisor's OOM-shed logic and main()).  bf16 64: with
     phase-lifetime weight paging (engine.offload_encoder) + the unrolled
-    batched prefill, 48/56/64 all fit end-to-end (measured 143/192/202x,
-    docs/PERF.md round 3) — the old 36 predates the paging fix.  The
-    supervisor sheds 8 streams per RESOURCE_EXHAUSTED attempt as the net."""
-    return 56
+    batched prefill, 48/56/64 all fit end-to-end (measured 143/195/205x;
+    the 64-stream full run incl. extras + 3 load configs is rc-0 clean,
+    docs/PERF.md round 4).  int4 keeps 56 (64 OOMs in that mode,
+    docs/PERF.md round 2).  The supervisor sheds 8 streams per
+    RESOURCE_EXHAUSTED attempt as the net."""
+    return 56 if mode == "int4" else 64
 
 
 def _supervised() -> int:
@@ -748,12 +750,26 @@ def main():
                 time.sleep(2)
 
         ticks = int(os.environ.get("BENCH_LOAD_TICKS", "16"))
-        # high-density live: window-recompute encoder (no per-stream ring;
-        # the recompute overhead scales as window/interval, so 2 s is the
-        # sustainable operating point for 32 streams — docs/PERF.md)
+        # high-density live: window-recompute encoder (no per-stream ring).
+        # The per-tick recompute re-encodes [context + chunk] where context
+        # is CONSTANT (window_pad rows) — overhead per audio-second scales
+        # as context/interval, so the (enc_ctx_extra, interval) pair sets
+        # the sustainable density.  Two measured operating points:
+        #  - throughput mode (the extra=0 default: 752-row context;
+        #    transcripts carry a <=47 flips/1k truncation bound,
+        #    docs/PERF.md round 4) at -I 2.0 — p50 1.7 s/feed, 32 streams;
+        #  - exact mode (enc_ctx_extra=2: 2248 rows, measured
+        #    transcript-exact vs ring) — UNSUSTAINABLE at 32 slots even at
+        #    -I 8.0 (p50 9.33 s, round 4); its sustainable point is ~16
+        #    slots x -I 8, demonstrated below.
         load_extra.update(run_load_safe(
             "load-window", load_n, 2.0, ticks,
             dec_kv_ring=1024, enc_mode="window",
+            dec_kv_dtype="float8_e4m3fn",
+        ))
+        load_extra.update(run_load_safe(
+            "load-window-exact", min(load_n, 16), 8.0, max(4, ticks // 2),
+            dec_kv_ring=1024, enc_mode="window", enc_ctx_extra=2,
             dec_kv_dtype="float8_e4m3fn",
         ))
         # low-latency live: exact incremental ring encoder at a tight fp8

@@ -31,12 +31,18 @@ Two encoder modes:
               reduction-order near-tie flips vs "ring".  `enc_ctx_extra`
               retains extra windows of context to push the truncation
               deeper.  This is the high-density serving mode (32+
-              streams).  Default enc_ctx_extra=2 is data-driven
-              (tools/window_ab.py at full size, 2x60 s clips, synthetic
-              checkpoint — the adversarial near-tie case): extra=0 flips
-              47/1k tokens vs exact ring mode, extra=2 flips ZERO, at
-              ~20% more encode compute and ~6 MB/stream of state (still
-              ~80x smaller than the ring it replaces).
+              streams).  The enc_ctx_extra default is data-driven both
+              ways (tools/window_ab.py + bench load rows at full size,
+              round 4): extra=0 flips <=47/1k tokens vs exact ring mode
+              (adversarial synthetic-checkpoint bound; 0 on one of two
+              clips) and sustains 32 live streams at -I 2.0 (p50 1.7 s);
+              extra=2 is measured transcript-EXACT but its constant
+              2248-row recompute context is UNSUSTAINABLE in the
+              high-density domain this mode exists for (32 slots: p50
+              3.49 s at -I 2.0, 9.33 s at -I 8.0) — so the default stays
+              0 (throughput, bounded delta) and extra=2 is the exactness
+              knob for pools with slot/interval headroom (sustainable at
+              ~16 slots x -I 8).
 
 Slot-uniformity tricks shared with the round-2 pool: inactive/ineligible
 slots ride along in device calls with masked state restore; non-decodable
@@ -220,7 +226,7 @@ class StreamPool:
                  enc_kv_ring: Optional[int] = None,
                  enc_kv_dtype: Optional[str] = None,
                  dec_kv_dtype: Optional[str] = None,
-                 enc_ctx_extra: int = 2):
+                 enc_ctx_extra: int = 0):
         """enc_kv_ring/enc_kv_dtype/dec_kv_dtype override the engine's cache
         geometry/storage for THIS pool only — e.g. a high-density live pool
         can run ring-mode encoder caches in fp8 at a tight 896 cap (the
