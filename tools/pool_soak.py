@@ -122,7 +122,7 @@ def main():
         f"SOAK {n} streams x {ti} ticks (-I {interval}, {enc_mode}/{kv}): "
         f"first-quarter p50 {pct(first, 50):.0f}/p90 {pct(first, 90):.0f} ms"
         f" -> last-quarter p50 {pct(last, 50):.0f}/p90 {pct(last, 90):.0f} ms"
-        f"; {tokens} tokens ({tokens / max(1e-9, audio_s) * 80.0:.0f}% of "
+        f"; {tokens} tokens ({tokens / max(1e-9, audio_s) * 8.0:.1f}% of "
         f"1 tok/80ms), {restarts} restarts, {alive}/{n} streams alive, "
         f"{led['total_resident'] / (1 << 30):.2f} GiB resident"
     )
