@@ -21,7 +21,9 @@ Usage: python tools/pool_soak.py [model_dir]
 env: SOAK_STREAMS (default 16) · SOAK_MINUTES (default 10) · SOAK_INTERVAL
 (feed seconds, default 0.5) · SOAK_GATE (encode gate seconds, default
 0.8x interval) · SOAK_ENC_MODE/SOAK_ENC_RING/SOAK_DEC_RING/SOAK_KV
-(default the load-ring16 recipe: ring, 896, 1024, float8_e4m3fn)
+(default the load-ring16 recipe: ring, 896, 1024, float8_e4m3fn) ·
+SOAK_QUANT (int8|int4 weight-only decoder — soak the quantized serving
+rung; default off = exact bf16 weights)
 """
 
 from __future__ import annotations
@@ -56,6 +58,7 @@ def main():
     enc_ring = int(os.environ.get("SOAK_ENC_RING", "896"))
     dec_ring = int(os.environ.get("SOAK_DEC_RING", "1024"))
     kv = os.environ.get("SOAK_KV", "float8_e4m3fn")
+    quant = os.environ.get("SOAK_QUANT", "")
 
     import jax
 
@@ -74,7 +77,8 @@ def main():
     log(f"weights in HBM (+{time.monotonic() - t0:.0f}s)")
 
     eng = VoxtralEngine(cfg, params, tokenizer=tok, buckets=(64, 16, 4, 1),
-                        enc_kv_ring=enc_ring, dec_kv_ring=dec_ring)
+                        enc_kv_ring=enc_ring, dec_kv_ring=dec_ring,
+                        quantize=quant or False)
     pool = StreamPool(
         eng, n, dec_kv_ring=dec_ring, enc_mode=enc_mode,
         enc_kv_ring=enc_ring, enc_kv_dtype=kv, dec_kv_dtype=kv,
@@ -94,7 +98,8 @@ def main():
     ticks, tokens = [], 0
     ti = 0
     log(f"soaking {n} streams x {minutes:.0f} min at -I {interval} "
-        f"(gate {gate}, {enc_mode}/{kv}, enc {enc_ring} dec {dec_ring})")
+        f"(gate {gate}, {enc_mode}/{kv}, enc {enc_ring} dec {dec_ring}"
+        f"{', ' + quant if quant else ''})")
     while time.monotonic() < deadline:
         off = (ti * feed_n) % (len(audio) - feed_n)
         for i in slots:
@@ -119,7 +124,8 @@ def main():
     led = pool.memory_ledger()
     audio_s = ti * interval * n
     print(
-        f"SOAK {n} streams x {ti} ticks (-I {interval}, {enc_mode}/{kv}): "
+        f"SOAK {n} streams x {ti} ticks (-I {interval}, {enc_mode}/{kv}"
+        f"{', ' + quant if quant else ''}): "
         f"first-quarter p50 {pct(first, 50):.0f}/p90 {pct(first, 90):.0f} ms"
         f" -> last-quarter p50 {pct(last, 50):.0f}/p90 {pct(last, 90):.0f} ms"
         f"; {tokens} tokens ({tokens / max(1e-9, audio_s) * 8.0:.1f}% of "
