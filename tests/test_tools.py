@@ -80,3 +80,53 @@ def test_make_fake_ckpt_tekken_roundtrip(tmp_path):
     # byte-fallback range + word-like tokens decode cleanly
     assert tok.token_bytes(1000 + 65) == b"A"
     assert tok.decode(1990).startswith(" ")
+
+
+def test_make_golden_fingerprint_gating(tmp_path):
+    """`check` must SKIP (not FAIL) fixtures recorded on another checkpoint
+    or against a renamed/wrong-content wav (ADVICE r4: synthetic fixtures
+    were hard-FAILing real-checkpoint runtest.sh runs)."""
+    import json
+    import types
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import make_golden as mg
+
+    cfg = tiny_config()
+    ckpt = tmp_path / "ckpt"
+    ckpt.mkdir()
+    tensors = _torch_layout_checkpoint(cfg, np.random.default_rng(0))
+    write_safetensors(str(ckpt / "consolidated.safetensors"), tensors)
+    fp = mg.weights_fingerprint(str(ckpt))
+    assert fp == mg.weights_fingerprint(str(ckpt))  # stable
+
+    ckpt2 = tmp_path / "ckpt2"
+    ckpt2.mkdir()
+    tensors2 = _torch_layout_checkpoint(cfg, np.random.default_rng(1))
+    write_safetensors(str(ckpt2 / "consolidated.safetensors"), tensors2)
+    assert mg.weights_fingerprint(str(ckpt2)) != fp
+
+    fixdir = tmp_path / "golden"
+    fixdir.mkdir()
+    wavdir = tmp_path / "wavs"
+    wavdir.mkdir()
+    (wavdir / "clip.wav").write_bytes(b"RIFF-not-really-the-same-audio")
+
+    def write_fixture(name, **kw):
+        fx = {"name": name, "engine": "voxtral_tpu", "quant": "bf16",
+              "token_ids": [1, 2, 3], "text": "abc", **kw}
+        with open(fixdir / f"{name}.engine.json", "w") as f:
+            json.dump(fx, f)
+
+    # fixture recorded on ANOTHER checkpoint -> fingerprint SKIP
+    write_fixture("clip", weights_fingerprint="0" * 64,
+                  audio_sha256="1" * 64)
+    args = types.SimpleNamespace(
+        fixtures=str(fixdir), model_dir=str(ckpt), quant="bf16",
+        wav_dir=str(wavdir), min_ratio=0.9, names=[],
+    )
+    assert mg.cmd_check(args) == 0  # SKIP, not FAIL (and no engine load)
+
+    # right checkpoint, WRONG wav content -> audio SKIP
+    write_fixture("clip", weights_fingerprint=fp, audio_sha256="1" * 64)
+    assert mg.cmd_check(args) == 0

@@ -46,6 +46,25 @@ def _sha256(path: str) -> str:
     return h.hexdigest()
 
 
+def weights_fingerprint(model_dir: str) -> str:
+    """Cheap checkpoint-identity hash: file size + the first 4 MiB of every
+    *.safetensors in the dir (tensor DATA, not just the layout header —
+    synthetic and real checkpoints share shapes).  Engine fixtures carry
+    this so `check` never compares exact token IDs recorded on one
+    checkpoint against transcripts from another (the round-4 failure mode:
+    synthetic-checkpoint fixtures hard-FAILing a real-checkpoint
+    runtest.sh, ADVICE r4)."""
+    import glob as _glob
+
+    h = hashlib.sha256()
+    for path in sorted(_glob.glob(os.path.join(model_dir, "*.safetensors"))):
+        h.update(os.path.basename(path).encode())
+        h.update(str(os.path.getsize(path)).encode())
+        with open(path, "rb") as f:
+            h.update(f.read(4 << 20))
+    return h.hexdigest()
+
+
 def _fixture_path(fixdir: str, name: str, engine: str, quant: str) -> str:
     suffix = "" if quant == "bf16" else f".{quant}"
     return os.path.join(fixdir, f"{name}.{engine}{suffix}.json")
@@ -93,6 +112,8 @@ def cmd_record(args) -> int:
                 {
                     "name": name,
                     "audio_sha256": _sha256(wav),
+                    "weights_fingerprint": weights_fingerprint(
+                        args.model_dir),
                     "engine": "voxtral_tpu",
                     "quant": args.quant,
                     "token_ids": ids,
@@ -158,18 +179,38 @@ def cmd_check(args) -> int:
         )
         return 0
 
-    engine = _load_engine(args.model_dir, args.quant)
+    engine = None
+    fp = weights_fingerprint(args.model_dir)
     fails = 0
     done: dict[str, tuple] = {}          # clip name -> (ids, text) this run
     for path in fixtures:
         fx = json.load(open(path))
         name = fx["name"]
+        # engine fixtures are exact token-ID regressions, valid ONLY against
+        # the checkpoint that recorded them — skip on mismatch rather than
+        # hard-FAIL someone else's checkpoint (ADVICE r4)
+        fx_fp = fx.get("weights_fingerprint")
+        if fx_fp is not None and fx_fp != fp:
+            print(f"SKIP {os.path.basename(path)}: recorded on a different "
+                  f"checkpoint ({fx_fp[:12]}... vs {fp[:12]}...) — re-record "
+                  f"with 'make_golden.py record'")
+            continue
+        wav = args.wav_dir and os.path.join(args.wav_dir, name + ".wav")
+        if not wav or not os.path.exists(wav):
+            print(f"SKIP {os.path.basename(path)}: no {name}.wav under "
+                  f"--wav-dir")
+            continue
+        # the fixture's token IDs belong to ONE exact clip: verify the wav
+        # we are about to transcribe is that clip (a renamed/wrong-content
+        # wav would otherwise report a misleading FAIL, ADVICE r4)
+        fx_audio = fx.get("audio_sha256")
+        if fx_audio is not None and _sha256(wav) != fx_audio:
+            print(f"SKIP {os.path.basename(path)}: {name}.wav content does "
+                  f"not match the fixture's audio_sha256")
+            continue
         if name not in done:
-            wav = args.wav_dir and os.path.join(args.wav_dir, name + ".wav")
-            if not wav or not os.path.exists(wav):
-                print(f"SKIP {os.path.basename(path)}: no {name}.wav under "
-                      f"--wav-dir")
-                continue
+            if engine is None:
+                engine = _load_engine(args.model_dir, args.quant)
             done[name] = _transcribe(engine, wav)
         ids, text = done[name]
 

@@ -23,7 +23,8 @@ env: SOAK_STREAMS (default 16) · SOAK_MINUTES (default 10) · SOAK_INTERVAL
 0.8x interval) · SOAK_ENC_MODE/SOAK_ENC_RING/SOAK_DEC_RING/SOAK_KV
 (default the load-ring16 recipe: ring, 896, 1024, float8_e4m3fn) ·
 SOAK_QUANT (int8|int4 weight-only decoder — soak the quantized serving
-rung; default off = exact bf16 weights)
+rung; default off = exact bf16 weights) · SOAK_WAV (source clip; falls back
+to synthetic audio when the default reference-sample path is absent)
 """
 
 from __future__ import annotations
@@ -90,8 +91,18 @@ def main():
         pool.set_continuous(i, True)
         slots.append(i)
 
-    audio = load_wav("/root/reference/samples/jfk.wav")
-    audio = np.tile(audio, 8)          # ~88 s source, offsets wrap below
+    # wav from env (the reference checkout path is machine-specific) with a
+    # synthetic fallback so the soak runs anywhere (ADVICE r4)
+    wav = os.environ.get("SOAK_WAV", "/root/reference/samples/jfk.wav")
+    if os.path.exists(wav):
+        audio = np.tile(load_wav(wav), 8)   # ~88 s source, offsets wrap below
+    else:
+        log(f"{wav} not found; using synthetic audio (set SOAK_WAV)")
+        rng = np.random.default_rng(0)
+        t = np.arange(90 * 16000) / 16000.0
+        audio = (0.25 * np.sin(2 * np.pi * 220 * t)
+                 * np.sin(2 * np.pi * 1.3 * t)
+                 + 0.05 * rng.standard_normal(t.size)).astype(np.float32)
     feed_n = int(interval * 16000)
 
     deadline = time.monotonic() + minutes * 60.0
