@@ -44,12 +44,14 @@ ANCHORS_PATH = os.path.join(
 # probe clobbered the recorded int4 headline because the old writer keyed
 # on mode alone — VERDICT r4 weak #1).  BENCH_MODE itself is fine (it IS
 # the anchor key); supervisor OOM-sheds set BENCH_STREAMS and are thereby
-# excluded too.
+# excluded too.  Only vars that can change the HEADLINE (the timed
+# run_once passes) are overrides: BENCH_LAT / BENCH_LOAD* / the bf16-only
+# step-probe toggles all gate side phases that run strictly AFTER the
+# timed passes, so a mode run may skip them and still record its anchor.
 _ANCHOR_OVERRIDE_VARS = (
     "BENCH_STREAMS", "BENCH_TRIES", "BENCH_SECONDS", "BENCH_BURST",
     "BENCH_DEC_RING", "BENCH_ENC", "BENCH_ENC_GROUP", "BENCH_ENC_BATCH",
-    "BENCH_LAT", "BENCH_LOAD", "BENCH_LOAD_STREAMS", "BENCH_LOAD_TICKS",
-    "BENCH_FP8_STREAMS", "BENCH_INT8", "BENCH_INT4", "BENCH_PIPE",
+    "BENCH_PIPE",
 )
 
 
@@ -90,12 +92,14 @@ def _default_streams(mode: str) -> int:
     phase-lifetime weight paging (engine.offload_encoder) + the unrolled
     batched prefill, 48/56/64 all fit end-to-end (measured 143/195/205x;
     the 64-stream full run incl. extras + 3 load configs is rc-0 clean,
-    docs/PERF.md round 4).  int4 keeps 56: 72 fits post-paging (5.47 GiB
-    resident) but the encode phase scales linearly with streams and eats
-    the decode win — 205.5x at 72 vs 244.7x at 56 (docs/PERF.md round 4).
-    The supervisor sheds 8 streams per RESOURCE_EXHAUSTED attempt as the
-    net."""
-    return 56 if mode == "int4" else 64
+    docs/PERF.md round 4).  int4/int8 keep 56: 72 fits post-paging
+    (5.47 GiB resident int4) but the encode phase scales linearly with
+    streams and eats the decode win — 205.5x at 72 vs 244.7x at 56
+    (docs/PERF.md round 4).  fp8kv (exact bf16 weights + fp8 decoder
+    rings, the reference's default degraded-KV ladder rung) runs 64 like
+    bf16 — the rings it halves were bf16's capacity wall.  The supervisor
+    sheds 8 streams per RESOURCE_EXHAUSTED attempt as the net."""
+    return 56 if mode in ("int4", "int8") else 64
 
 
 def _supervised() -> int:
@@ -299,13 +303,20 @@ def main():
     # scan copied the whole stacked cache 2x as HLO temps under stream-vmap)
     # are what make 48/56/64 fit end-to-end — see docs/PERF.md round 3.
     # The supervisor sheds 8 streams per RESOURCE_EXHAUSTED attempt as a net.
-    # BENCH_MODE=int4: the production high-density serving mode — encoder
-    # exact bf16, decoder int4 (Pallas kernel) + fp8 KV, no bf16 decoder
-    # masters resident (225.8x measured at 56 streams pre-fp8-routing-fix;
-    # decode-only plateau ~454x at B=64-80, docs/PERF.md).  Transcripts may
-    # differ from bf16 on near-tied tokens, so this is not the default
-    # headline.
+    # BENCH_MODE — the measured dtype ladder, exactness-first (each rung's
+    # end-to-end number is recorded in docs/bench_anchors.json and echoed by
+    # bf16 runs; transcripts on the degraded rungs may flip near-tied tokens,
+    # so bf16 stays the default headline):
+    #   bf16   exact weights + exact rings (the headline)
+    #   fp8kv  exact bf16 weights + fp8 decoder rings — the direct analog of
+    #          the reference's DEFAULT (fp16 KV, VOX_DECODER_KV_FP16
+    #          voxtral.c:166-167 / SPEED.md:171-182): weights stay exact,
+    #          the cache degrades one dtype rung
+    #   int8   int8 weight-only decoder (Pallas-free XLA path) + fp8 rings
+    #   int4   int4 decoder (Pallas nibble-unpack kernel) + fp8 rings — the
+    #          high-density rung (244.7x at 56 streams, round 4)
     mode = os.environ.get("BENCH_MODE", "bf16")
+    assert mode in ("bf16", "fp8kv", "int8", "int4"), mode
     n_streams = int(os.environ.get("BENCH_STREAMS", _default_streams(mode)))
     seconds = float(os.environ.get("BENCH_SECONDS", "60"))
     burst = int(os.environ.get("BENCH_BURST", "64"))
@@ -342,9 +353,9 @@ def main():
     print(f"bench device: {dev}", file=sys.stderr, flush=True)
 
     cfg = full_config()
-    if mode == "int4":
-        # decoder rings fp8; the encoder ring stays exact bf16 (enc_kv_dtype
-        # override — the int4 serving mode only degrades the decoder)
+    if mode != "bf16":
+        # every degraded rung: decoder rings fp8; the encoder ring stays
+        # exact bf16 (enc_kv_dtype override — only the decoder degrades)
         cfg = cfg.replace(kv_dtype="float8_e4m3fn", enc_kv_dtype="bfloat16")
     # big encode buckets cut per-call dispatch overhead (matters on remote
     # tunnels); enc ring must cover window 750 + the largest bucket
@@ -376,7 +387,7 @@ def main():
 
     engine = VoxtralEngine(
         cfg, params, tokenizer=tok, param_source=encoder_source,
-        quantize="int4" if mode == "int4" else False, **eng_kwargs
+        quantize=mode if mode in ("int4", "int8") else False, **eng_kwargs
     )
     # rebind so the pre-quantization bf16 decoder copies become garbage and
     # their HBM is freed (the whole point of the int4 serving mode)
@@ -458,6 +469,17 @@ def main():
         donate_argnums=(0,),
     )
 
+    # Pipelined phases (BENCH_PIPE=1): skip the phase barrier — no encoder
+    # weight paging, no inter-phase queue drain, and no per-burst token
+    # fetches; the whole encode+prefill+decode pipeline dispatches
+    # asynchronously with ONE D2H fetch of the token ids at the end, so the
+    # device queue never drains on a tunnel round trip.  Only modes whose
+    # working set fits withOUT paging can run this way: int4/int8 drop the
+    # 6.9 GB bf16 decoder masters (default on); bf16/fp8kv keep them and
+    # need the paging barrier at 64 streams (default off).
+    pipelined = os.environ.get(
+        "BENCH_PIPE", "1" if mode in ("int4", "int8") else "0") == "1"
+
     def run_once(label):
         """Full two-phase pipeline over all streams; returns wall + stats."""
         t_start = time.monotonic()
@@ -513,18 +535,24 @@ def main():
                 adapter = set_rows(adapter, rows[None], jnp.int32(s))
                 log(f"{label} encoded stream {s + 1}/{n_streams}")
             del enc_cache
-        # sync via a D2H fetch (block_until_ready is unreliable for timing
-        # on the axon tunnel — CLAUDE.md)
-        _ = np.asarray(adapter[0, 0, :1])          # [B, n_audio, dim]
-        t_enc = time.monotonic()
-        logmem(f"{label} post-encode", adapter)
-
-        # Phase D: batched decode.  Page the encoder+adapter weights (~2 GB
-        # bf16) out of HBM first: the decode step never reads them, and at 44
-        # streams the full pipeline otherwise sits ~tens of MB from the
-        # ceiling (measured: the first 34 MB burst-chunk slice OOMs).
-        engine.offload_encoder()
-        _ = np.asarray(jnp.zeros((1,)))    # drain the queue so frees land
+        if pipelined:
+            # no barrier: t_enc is DISPATCH time only (the device is still
+            # executing encode work while decode dispatch begins); the
+            # phase split is not separately measurable in this mode
+            t_enc = time.monotonic()
+        else:
+            # sync via a D2H fetch (block_until_ready is unreliable for
+            # timing on the axon tunnel — CLAUDE.md)
+            _ = np.asarray(adapter[0, 0, :1])          # [B, n_audio, dim]
+            t_enc = time.monotonic()
+            logmem(f"{label} post-encode", adapter)
+            # Phase D: batched decode.  Page the encoder+adapter weights
+            # (~2 GB bf16) out of HBM first: the decode step never reads
+            # them, and at 44 streams the full pipeline otherwise sits ~tens
+            # of MB from the ceiling (measured: the first 34 MB burst-chunk
+            # slice OOMs).
+            engine.offload_encoder()
+            _ = np.asarray(jnp.zeros((1,)))    # drain queue so frees land
         n_audio = adapter.shape[1]
         dec_cache = sv.batched_dec_cache(cfg, n_streams, engine.dec_kv_ring)
         prompt = jax.vmap(engine.prompt_embeds)(adapter[:, :L])
@@ -532,9 +560,14 @@ def main():
             params["decoder"], cfg, prompt[:, : L - 1], dec_cache,
             jnp.zeros((n_streams,), jnp.int32), engine.ada(),
         )
-        tokens = [[] for _ in range(n_streams)]
-        done = np.zeros(n_streams, bool)
-        prev = np.full(n_streams, 32, np.int32)
+        # prev-token feedback between bursts stays ON DEVICE (toks[:, -1]);
+        # the old per-burst np.asarray(toks) drained the dispatch queue on a
+        # tunnel round trip every 64 steps — all token ids now come home in
+        # one end-of-clip fetch (195 KB at B=64) and EOS handling moves to
+        # host post-processing (identical transcripts: the lockstep decode
+        # runs every position either way)
+        toks_parts = []
+        prev = jnp.full((n_streams,), 32, jnp.int32)
         pos = L - 1
         steps = 0
         from voxtral_tpu.runtime.engine import decompose
@@ -542,24 +575,23 @@ def main():
         for b in decompose(n_audio - pos, (burst, 16, 4, 1)):
             chunk = jax.lax.slice_in_dim(adapter, pos, pos + b, axis=1)
             toks, _, _, _, dec_cache = sv.bdecode_burst(
-                params["decoder"], cfg, chunk, jnp.asarray(prev), dec_cache,
+                params["decoder"], cfg, chunk, prev, dec_cache,
                 jnp.full((n_streams,), pos, jnp.int32), engine.ada(),
             )
-            toks = np.asarray(toks)
-            for s in range(n_streams):
-                if done[s]:
-                    continue
-                for tk in toks[s]:
-                    tk = int(tk)
-                    if tk == TOKEN_EOS:
-                        done[s] = True
-                        break
-                    tokens[s].append(tk)
-            prev = toks[:, -1].astype(np.int32)
+            toks_parts.append(toks)
+            prev = toks[:, -1].astype(jnp.int32)
             pos += b
             steps += b
             if steps % 256 == 0 or pos >= n_audio:
-                log(f"{label} decode {pos}/{n_audio}")
+                log(f"{label} decode dispatched {pos}/{n_audio}")
+        all_toks = np.asarray(jnp.concatenate(toks_parts, axis=1))
+        tokens = [[] for _ in range(n_streams)]
+        for s in range(n_streams):
+            for tk in all_toks[s]:
+                tk = int(tk)
+                if tk == TOKEN_EOS:
+                    break
+                tokens[s].append(tk)
         wall = time.monotonic() - t_start
         logmem(f"{label} post-decode", adapter, dec_cache)
         del dec_cache
@@ -767,7 +799,9 @@ def main():
             log(f"{tag}: p50 {p50l:.0f} / p90 {p90l:.0f} ms per "
                 f"{interval_s:.1f}s feed x{n} streams "
                 f"({np.mean(tick_tokens):.0f} tok/tick, "
-                f"{'SUSTAINABLE' if sustain else 'OVERLOADED'})")
+                f"{'SUSTAINABLE' if sustain else 'OVERLOADED'}; "
+                f"tick split enc {pool.encoder_ms / max(1, 2 * n_ticks):.0f}"
+                f" / dec {pool.decoder_ms / max(1, 2 * n_ticks):.0f} ms avg)")
             del pool
             return {
                 f"p50_token_latency_ms_under_{n}stream_load_I"
@@ -858,30 +892,18 @@ def main():
         "p50_token_latency_ms_I0.5": round(p50, 1),
         "p90_token_latency_ms_I0.5": round(p90, 1),
         **load_extra,
-        # MEASURED step times for the quantized rungs (mid-clip fill) --
+        # MEASURED step times for the quantized rungs (mid-clip fill).
+        # No extrapolated x-realtime "estimates" here any more: a round-3
+        # extrapolation hid a 3x fp8-flash collapse, and the round-4
+        # step-probe "308.7x" for fp8kv ignored the encode phase entirely.
+        # The throughput truth for every rung is its measured end-to-end
+        # anchor (`BENCH_MODE=<rung>`), echoed as e2e_anchors_measured.
         "int8_decoder_step_ms_batched": round(int8_step_ms, 3),
         "int8_streams": n_int8,
         "int4_fp8kv_decoder_step_ms_batched": round(int4_step_ms, 3),
         "bf16w_fp8kv_decoder_step_ms_batched": round(fp8_step_ms, 3),
         "bf16w_fp8kv_streams": n_fp8,
-        # single-step EXTRAPOLATIONS, segregated from measured values: a
-        # round-3 extrapolation exactly like these hid a 3x fp8-flash
-        # collapse; the measured anchor is `BENCH_MODE=int4`'s end-to-end
-        # headline, echoed below when a recorded run exists
-        "step_probe_estimates": {
-            "int8_aggregate_x_realtime": (
-                round(n_int8 * 80.0 / int8_step_ms, 1)
-                if int8_step_ms > 0 else -1
-            ),
-            "int4_fp8kv_aggregate_x_realtime": (
-                round(n_int4 * 80.0 / int4_step_ms, 1)
-                if int4_step_ms > 0 else -1
-            ),
-            "bf16w_fp8kv_aggregate_x_realtime": (
-                round(n_fp8 * 80.0 / fp8_step_ms, 1)
-                if fp8_step_ms > 0 else -1
-            ),
-        },
+        "pipelined_phases": pipelined,
         **mem_ledger,
         "device": str(dev),
         "weights": "real" if encoder_source.use_checkpoint else "random",

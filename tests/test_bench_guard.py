@@ -15,9 +15,11 @@ import bench
 
 def test_default_env_is_allowed():
     assert bench.anchor_update_allowed({})
-    # supervisor plumbing vars are not overrides
+    # supervisor plumbing vars and post-headline side-phase toggles are
+    # not overrides (they cannot change the timed passes)
     assert bench.anchor_update_allowed(
-        {"BENCH_INNER": "1", "BENCH_MODE": "int4", "BENCH_STALL_S": "900"}
+        {"BENCH_INNER": "1", "BENCH_MODE": "int4", "BENCH_STALL_S": "900",
+         "BENCH_LOAD": "0", "BENCH_LAT": "0", "BENCH_INT8": "0"}
     )
 
 

@@ -466,3 +466,50 @@ def test_memory_ledger(engine):
     pool_w = StreamPool(engine, 3, dec_kv_ring=64, enc_mode="window")
     pled_w = pool_w.memory_ledger()
     assert "pool_xwin" in pled_w and "pool_enc_cache" not in pled_w
+
+
+def test_pool_monitor_symbol_stream(engine, capsys):
+    """--monitor emits the per-slot symbol stream from the pool (VERDICT r4
+    weak #7): encoder chunks, prefill, decode classification, and the
+    restart cause/scope pairs — slot-prefixed, one line per tick."""
+    from voxtral_tpu.config import STREAM_MAX_NO_DECODE_SAMPLES
+    from voxtral_tpu.runtime import stream as stream_mod
+
+    stream_mod.monitor = True
+    try:
+        pool = StreamPool(engine, 2, dec_kv_ring=64, enc_mode="ring")
+        drive_pool(pool, [make_audio(1.2, seed=3), make_audio(1.2, seed=4)],
+                   continuous=True)
+        err = capsys.readouterr().err
+        assert "0:" in err and "1:" in err       # slot prefixes
+        assert "▶" in err                        # encoder chunk
+        assert "·" in err                        # prefill
+        assert any(c in err for c in "▪▸✗✘▫▹◦")  # a decode symbol
+
+        # restart path: trip the no-decode watchdog directly (cause 4) and
+        # the EOS cause (1); both must emit their cause+scope symbols
+        capsys.readouterr()
+        pool.close(0)
+        i = pool.add_stream()
+        pool.set_continuous(i, True)
+        s = pool.slots[i]
+        s.real_samples_fed = STREAM_MAX_NO_DECODE_SAMPLES + 1
+        pool._maybe_restart(i)
+        s2 = pool.slots[i]
+        s2.eos_seen = True
+        s2.decoder_started = True
+        pool._maybe_restart(i)
+        pool._mon_flush()
+        err = capsys.readouterr().err
+        assert "⌚" in err                        # no-decode cause
+        assert "↺" in err                        # EOS cause
+        assert "♻" in err or "✂" in err          # reset scope
+    finally:
+        stream_mod.monitor = False
+
+
+def test_pool_monitor_off_accumulates_nothing(engine):
+    """With --monitor off, ticks must not grow per-slot symbol state."""
+    pool = StreamPool(engine, 1, dec_kv_ring=64, enc_mode="ring")
+    drive_pool(pool, [make_audio(1.0, seed=5)])
+    assert all(not s.syms for s in pool.slots)

@@ -24,7 +24,11 @@ env: SOAK_STREAMS (default 16) · SOAK_MINUTES (default 10) · SOAK_INTERVAL
 (default the load-ring16 recipe: ring, 896, 1024, float8_e4m3fn) ·
 SOAK_QUANT (int8|int4 weight-only decoder — soak the quantized serving
 rung; default off = exact bf16 weights) · SOAK_WAV (source clip; falls back
-to synthetic audio when the default reference-sample path is absent)
+to synthetic audio when the default reference-sample path is absent) ·
+SOAK_TICK_LOG (log EVERY tick with its encode/decode wall split and token
+count — the cadence diagnostic for the -I 0.5 latency conjunction, where
+p50 sits within ~3% of the 300 ms bar and the per-tick shape, not the
+mean, is the thing to fix; docs/PERF.md round 4)
 """
 
 from __future__ import annotations
@@ -111,15 +115,22 @@ def main():
     log(f"soaking {n} streams x {minutes:.0f} min at -I {interval} "
         f"(gate {gate}, {enc_mode}/{kv}, enc {enc_ring} dec {dec_ring}"
         f"{', ' + quant if quant else ''})")
+    tick_log = os.environ.get("SOAK_TICK_LOG", "") == "1"
     while time.monotonic() < deadline:
         off = (ti * feed_n) % (len(audio) - feed_n)
         for i in slots:
             pool.feed(i, audio[off : off + feed_n])
         t1 = time.monotonic()
+        e0, d0 = pool.encoder_ms, pool.decoder_ms
+        gen0 = sum(s.n_generated for s in pool.slots)
         pool.tick()
         for i in slots:
             tokens += len(pool.get(i))
         ticks.append((time.monotonic() - t1) * 1000.0)
+        if tick_log:
+            log(f"tick {ti}: {ticks[-1]:.0f} ms (enc "
+                f"{pool.encoder_ms - e0:.0f} / dec {pool.decoder_ms - d0:.0f}"
+                f") {sum(s.n_generated for s in pool.slots) - gen0} tok")
         ti += 1
         if ti % 200 == 0:
             led = pool.memory_ledger()

@@ -80,6 +80,7 @@ from ..models import decoder as dec_mod
 from ..models.decoder import KVCache
 from ..models.fused_stream import ConvTails, fused_encode_chunk
 from ..native import make_mel_context
+from ..runtime import stream as stream_mod
 from ..runtime.engine import VoxtralEngine
 from ..tokenizer import TekkenTokenizer
 from . import serving as sv
@@ -208,6 +209,14 @@ class _Slot:
     n_generated: int = 0
     n_text_tokens: int = 0
     n_restarts: int = 0
+    # per-tick --monitor accumulators (flushed by StreamPool tick; only
+    # populated while runtime.stream.monitor is on)
+    syms: list = field(default_factory=list)
+    tick_steps: int = 0
+    tick_text: int = 0
+    tick_ctl: int = 0
+    tick_inv: int = 0
+    waiting_prompt: bool = False
 
     @property
     def backlog(self) -> int:
@@ -414,8 +423,6 @@ class StreamPool:
         line — the serving observability surface."""
         import sys
 
-        from ..runtime import stream as stream_mod
-
         if stream_mod.verbose < 1:
             return
         led = self.memory_ledger()
@@ -467,6 +474,23 @@ class StreamPool:
         self._tick_decoder()
         self.encoder_ms += (t1 - t0) * 1000.0
         self.decoder_ms += (time.monotonic() - t1) * 1000.0
+        self._mon_flush()
+
+    # -- --monitor symbol stream (VoxStream's 19-symbol table with a slot
+    # prefix, one aggregated stderr line per tick — the pool analog of the
+    # reference's per-event health stream, README.md:109-130) -------------
+    def _mon_flush(self):
+        parts = []
+        for i, s in enumerate(self.slots):
+            if s.syms:
+                parts.append(f"{i}:{''.join(s.syms)}")
+            s.syms = []
+            s.tick_steps = s.tick_text = s.tick_ctl = s.tick_inv = 0
+        if parts and stream_mod.monitor:
+            import sys
+
+            sys.stderr.write(" ".join(parts) + "\n")
+            sys.stderr.flush()
 
     # -- encoder side ---------------------------------------------------
     def _avail_mel(self, s: _Slot) -> tuple[int, int]:
@@ -554,6 +578,8 @@ class StreamPool:
                     s.w_count += q // 8
                     s.conv_init = True
                     s.mel_ctx.discard_before(s.mel_cursor)
+                    if stream_mod.monitor:
+                        s.syms.append("▶")  # ▶ encoder chunk
 
     # -- decoder side ---------------------------------------------------
     def _admit_prefill(self, i: int):
@@ -579,6 +605,9 @@ class StreamPool:
         s.dec_pos = L - 1
         s.prev_token = TOKEN_STREAMING_PAD
         s.decoder_started = True
+        s.waiting_prompt = False
+        if stream_mod.monitor:
+            s.syms.append("·")  # · prefill
 
     def _burst_len(self, avail: int) -> int:
         """Exact size below 32 (one dispatch drains the steady-state tick
@@ -598,7 +627,12 @@ class StreamPool:
             if (s.active and not s.decoder_started and not s.eos_seen
                     and s.backlog >= L):
                 self._admit_prefill(i)
+            elif (stream_mod.monitor and s.active and not s.decoder_started
+                    and not s.waiting_prompt):
+                s.syms.append("⌛")  # ⌛ waiting for prompt-sized backlog
+                s.waiting_prompt = True
 
+        t_dec0 = time.monotonic()
         ring_limited = self.dec_ring < cfg.decoder.window
         while True:
             cands = []
@@ -688,6 +722,33 @@ class StreamPool:
                     alt_probs[i] if self.n_alt else None,
                     best_probs[i] if self.n_alt else None,
                 )
+        if stream_mod.monitor:
+            # one decode symbol per slot per tick (VoxStream's per-pass
+            # table, stream.py:447-472); "slow" uses the tick's aggregate
+            # wall per step — the pool's bursts are shared device calls
+            dec_ms = (time.monotonic() - t_dec0) * 1000.0
+            total_steps = sum(s.tick_steps for s in self.slots)
+            slow = total_steps > 0 and dec_ms / total_steps > 40
+            for s in self.slots:
+                if not s.tick_steps:
+                    continue
+                if s.tick_text > 0:
+                    sym = "▸" if slow else "▪"
+                elif s.tick_inv > 0:
+                    sym = "✘" if slow else "✗"
+                elif s.tick_ctl > 0:
+                    sym = "▹" if slow else "▫"
+                elif s.eos_seen:
+                    sym = "◦"  # EOS-only
+                else:
+                    sym = "▪"
+                sev = ""
+                if s.tick_text == 0 and (s.tick_ctl or s.tick_inv):
+                    if s.nontext_streak >= STREAM_MAX_NON_TEXT_STREAK - 8:
+                        sev = "☠"  # critical streak, restart imminent
+                    elif s.nontext_streak >= STREAM_MAX_NON_TEXT_STREAK // 2:
+                        sev = "⚠"  # elevated streak
+                s.syms.append(sym + sev)
         for i, s in enumerate(self.slots):
             if s.active:
                 self._maybe_restart(i)
@@ -715,6 +776,7 @@ class StreamPool:
         for j, tkn in enumerate(tokens):
             tkn = int(tkn)
             s.n_generated += 1
+            s.tick_steps += 1
             s.last_decode_sample = s.real_samples_fed
             cls = self.tok.classify(tkn)
             if cls == TekkenTokenizer.TOK_TEXT:
@@ -725,12 +787,16 @@ class StreamPool:
                     float(best_probs[j]) if use_alts else 0.0,
                 )
                 s.n_text_tokens += 1
+                s.tick_text += 1
                 s.text_since_restart = True
                 s.empty_restarts = 0
                 s.nontext_streak = 0
-            elif cls in (TekkenTokenizer.TOK_CONTROL,
-                         TekkenTokenizer.TOK_INVALID):
+            elif cls == TekkenTokenizer.TOK_CONTROL:
                 s.nontext_streak += 1
+                s.tick_ctl += 1
+            elif cls == TekkenTokenizer.TOK_INVALID:
+                s.nontext_streak += 1
+                s.tick_inv += 1
             s.prev_token = tkn
             s.dec_pos += 1
             if tkn == TOKEN_EOS:
@@ -782,6 +848,13 @@ class StreamPool:
         else:
             self._reset_decoder_state(i)
         self.slots[i].last_decode_sample = self.slots[i].real_samples_fed
+        if stream_mod.monitor:
+            # restart cause + scope (↺ EOS / ⟳ KV-overflow / ↯ non-text
+            # streak / ⌚ no-decode watchdog; ♻ full reset, ✂ decoder-only)
+            self.slots[i].syms.append(
+                {1: "↺", 2: "⟳", 3: "↯", 4: "⌚"}[need]
+                + ("♻" if full else "✂")
+            )
 
     def _full_reset(self, i: int):
         old = self.slots[i]
@@ -790,6 +863,7 @@ class StreamPool:
         s.active = old.active
         s.finished = old.finished
         s.queue = old.queue
+        s.syms = old.syms          # keep this tick's pending monitor symbols
         s.real_samples_fed = old.real_samples_fed
         s.empty_restarts = old.empty_restarts
         s.n_generated = old.n_generated
