@@ -96,10 +96,13 @@ def _default_streams(mode: str) -> int:
     (5.47 GiB resident int4) but the encode phase scales linearly with
     streams and eats the decode win — 205.5x at 72 vs 244.7x at 56
     (docs/PERF.md round 4).  fp8kv (exact bf16 weights + fp8 decoder
-    rings, the reference's default degraded-KV ladder rung) runs 64 like
-    bf16 — the rings it halves were bf16's capacity wall.  The supervisor
-    sheds 8 streams per RESOURCE_EXHAUSTED attempt as the net."""
-    return 56 if mode in ("int4", "int8") else 64
+    rings, the reference's default degraded-KV ladder rung) runs 80: the
+    halved rings buy ~2.8 GiB of HBM that converts to streams bf16 cannot
+    fit — measured 208x@64 / 226.7x@80 / 210.6x@88 / 207.8x@96 (the step
+    degrades superlinearly near the ceiling; docs/PERF.md round 5).  The
+    supervisor sheds 8 streams per RESOURCE_EXHAUSTED attempt as the
+    net."""
+    return {"int4": 56, "int8": 56, "fp8kv": 80}.get(mode, 64)
 
 
 def _supervised() -> int:
@@ -392,6 +395,14 @@ def main():
     # rebind so the pre-quantization bf16 decoder copies become garbage and
     # their HBM is freed (the whole point of the int4 serving mode)
     params = engine.params
+    if engine.quantized:
+        # drain the async queue so the 6.9 GiB bf16 decoder-master frees
+        # LAND before the pipeline dispatches: the pipelined path has no
+        # phase barrier, and with the frees still queued the first warmup
+        # pass transiently holds masters + quantized copies + caches —
+        # measured as a spurious RESOURCE_EXHAUSTED shed at int4@56
+        # (docs/PERF.md round 5)
+        _ = np.asarray(jnp.zeros((1,)))
     L = engine.prompt_len
 
     # --- the audio workload -------------------------------------------------
@@ -475,10 +486,15 @@ def main():
     # asynchronously with ONE D2H fetch of the token ids at the end, so the
     # device queue never drains on a tunnel round trip.  Only modes whose
     # working set fits withOUT paging can run this way: int4/int8 drop the
-    # 6.9 GB bf16 decoder masters (default on); bf16/fp8kv keep them and
-    # need the paging barrier at 64 streams (default off).
+    # 6.9 GB bf16 decoder masters, and fp8kv's halved rings leave room for
+    # the resident encoder even at 80 streams (12.54 GiB measured) — all
+    # three default on.  bf16 at 64 streams needs the paging barrier
+    # (default off).  Measured effect: +0.7% (the barrier costs only
+    # ~0.12 s — XLA's async dispatch already pipelines everything else;
+    # docs/PERF.md round 5) — kept because it is free and drops the
+    # per-burst token fetches.
     pipelined = os.environ.get(
-        "BENCH_PIPE", "1" if mode in ("int4", "int8") else "0") == "1"
+        "BENCH_PIPE", "0" if mode == "bf16" else "1") == "1"
 
     def run_once(label):
         """Full two-phase pipeline over all streams; returns wall + stats."""
