@@ -290,6 +290,13 @@ class StreamPool:
         self.slots = [_Slot() for _ in range(n_slots)]
         self.encoder_ms = 0.0
         self.decoder_ms = 0.0
+        # burst accounting for latency diagnosis (tools/tick_probe.py):
+        # every decode burst pays a dispatch + a queue-draining token fetch,
+        # so bursts/tick is the tunnel-round-trip multiplier
+        self.n_bursts = 0
+        self.burst_rows = 0
+        self.fetch_ms = 0.0
+        self.n_enc_calls = 0
 
     # ------------------------------------------------------------------
     # lifecycle (vox_stream_init/destroy analogs)
@@ -549,6 +556,7 @@ class StreamPool:
                 w_pos[i] = s.w_count % self.row_r
 
             tk = jnp.asarray(takers)
+            self.n_enc_calls += 1
             # _encp()/_adap() (not params[...]): they auto-restore weights an
             # offload_encoder() paged out — a pool must stay tickable across
             # the engine's phase-lifetime paging (test_paging.py invariant)
@@ -706,12 +714,16 @@ class StreamPool:
                     jnp.asarray(r_pos), jnp.asarray(prev), self.dec_cache,
                     jnp.asarray(pos0), eng.ada(), t, self.n_alt,
                 )
+            self.n_bursts += 1
+            self.burst_rows += t
+            t_f = time.monotonic()
             if self.n_alt:
                 toks, alt_ids, alt_probs, best_probs = jax.device_get(
                     (toks, alt_ids, alt_probs, best_probs)
                 )
             else:
                 toks = np.asarray(toks)
+            self.fetch_ms += (time.monotonic() - t_f) * 1000.0
             for i, s in enumerate(self.slots):
                 if not cands[i]:
                     continue
