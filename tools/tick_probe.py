@@ -76,6 +76,7 @@ def main():
         slots.append(i)
 
     feed_n = int(interval_s * 16000)
+    split = os.environ.get("PROBE_SPLIT", "0") == "1"
     rows = []   # (tick_ms, enc_ms, dec_ms, bursts, burst_rows, fetch_ms)
     for rnd in range(2):          # round 0 absorbs compiles
         for ti in range(ticks):
@@ -86,13 +87,33 @@ def main():
             t1 = time.monotonic()
             for s in slots:
                 pool.feed(s, audio[off:off + feed_n])
-            pool.tick()
-            dt = (time.monotonic() - t1) * 1000.0
+            if split:
+                # run the tick's halves with a one-element D2H sync between:
+                # attributes device compute to encode vs decode (the normal
+                # tick's only sync is the token fetch, which drains BOTH)
+                pool._tick_encoder()
+                _ = np.asarray(pool.row_ring[0, 0, :1])  # sliced on device
+                t_mid = time.monotonic()
+                pool._tick_decoder()
+                pool._mon_flush()
+                # pure round trip: fetch of an already-realized tiny array
+                t_r = time.monotonic()
+                _ = np.asarray(pool.row_ring[0, 0, :1])
+                rtt = (time.monotonic() - t_r) * 1000.0
+                dt = (time.monotonic() - t1) * 1000.0
+                enc_wall = (t_mid - t1) * 1000.0
+                dec_wall = dt - enc_wall - rtt
+            else:
+                pool.tick()
+                dt = (time.monotonic() - t1) * 1000.0
+                enc_wall = pool.encoder_ms - e0
+                dec_wall = pool.decoder_ms - d0
+                rtt = 0.0
             if rnd:
                 rows.append((
-                    dt, pool.encoder_ms - e0, pool.decoder_ms - d0,
+                    dt, enc_wall, dec_wall,
                     pool.n_bursts - b0, pool.burst_rows - r0,
-                    pool.fetch_ms - f0, pool.n_enc_calls - ec0,
+                    pool.fetch_ms - f0, pool.n_enc_calls - ec0, rtt,
                 ))
             for s in slots:
                 pool.get(s)
@@ -100,7 +121,8 @@ def main():
                 log(f"round {rnd} tick {ti}/{ticks}: {dt:.0f} ms")
 
     a = np.array(rows)
-    names = ["tick", "enc", "dec", "bursts", "rows", "fetch", "enc_calls"]
+    names = ["tick", "enc", "dec", "bursts", "rows", "fetch", "enc_calls",
+             "rtt"]
     print(f"TICKPROBE n={n} interval={interval_s} gate={gate_s} "
           f"enc_ring={enc_ring} ticks={len(rows)}")
     for j, nm in enumerate(names):

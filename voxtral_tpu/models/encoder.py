@@ -28,7 +28,7 @@ from ..config import DOWNSAMPLE_FACTOR, EncoderConfig, VoxtralConfig
 from . import quant
 from ..ops.flash_encode import flash_bulk_attention
 from ..ops.norms import gelu, rms_norm, silu
-from ..ops.ring import ring_attention, ring_write
+from ..ops.ring import ring_attention, ring_chunk_write, ring_write
 from ..ops.rope import apply_rope_interleaved, rope_cos_sin
 
 PyTree = Any
@@ -123,12 +123,11 @@ def _enc_layer_step(cfg: EncoderConfig, cdtype, x, lp, k_all, v_all, li,
         k_ring = jax.lax.dynamic_index_in_dim(k_all, li, axis=0, keepdims=False)
         v_ring = jax.lax.dynamic_index_in_dim(v_all, li, axis=0, keepdims=False)
     else:
-        k_ring = jax.lax.dynamic_index_in_dim(k_all, li, axis=0, keepdims=False)
-        v_ring = jax.lax.dynamic_index_in_dim(v_all, li, axis=0, keepdims=False)
-        k_ring = ring_write(k_ring, k, pos0)
-        v_ring = ring_write(v_ring, v, pos0)
-        k_all = jax.lax.dynamic_update_index_in_dim(k_all, k_ring, li, axis=0)
-        v_all = jax.lax.dynamic_update_index_in_dim(v_all, v_ring, li, axis=0)
+        # custom_vmap: unbatched = rotate ring_write; under stream-vmap =
+        # one in-place Pallas launch (the vmapped rotate's per-stream shift
+        # lowers to a whole-cache gather — tools/tick_probe.py round 5)
+        k_all, v_all, k_ring, v_ring = ring_chunk_write(
+            k_all, v_all, k, v, li, pos0)
 
     use_flash = t > 1 and k_all.dtype.itemsize >= 2 and cfg.attn_impl == "flash"
     # "auto" resolves to xla: the Pallas bulk kernel measured SLOWER at the

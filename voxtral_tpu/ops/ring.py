@@ -211,6 +211,125 @@ def _ring_rows_write_vmap(axis_size, in_batched, k_all, v_all, k_row, v_row,
     return (k_all, v_all), (True, True)
 
 
+# ---------------------------------------------------------------------------
+# Batched multi-row (chunk) ring write
+# ---------------------------------------------------------------------------
+#
+# The encoder writes T~20-150 rows per chunk into every layer's ring.  The
+# unbatched rotate-based ring_write is fine single-stream, but under stream
+# vmap its concat+dynamic_slice rotate has a PER-STREAM shift, which XLA
+# lowers to a gather over the whole cache -- measured as ~210 ms of a 289 ms
+# 16-stream pool tick (docs/PERF.md round 5, tools/tick_probe.py).
+#
+# The batched path below is a one-hot MXU matmul blend: for each cache slot
+# c, the chunk row that lands there is j(c) = (c - slot0) mod cap, so
+#
+#     upd  = P @ chunk        P[b, c, j] = (j(c) == j) & (j(c) < T)
+#     ring = where(j(c) < T, upd, ring)
+#
+# All streaming traffic + one tiny batched matmul (P is [B, cap, T] of
+# zeros/ones; exact: each output row is a single chunk row, accumulated in
+# f32).  No per-stream gather over the cache, no scatter, no dynamic shift.
+# Measured on chip at the pool-tick shapes (B=16, L=32, KH=32, cap=896,
+# T=24, both caches): 61 ms vs 168 ms for the vmapped rotate.  A Pallas
+# in-place variant (aligned DMA read-modify-write windows) was built and
+# measured WORSE (~29 ms/launch = 930 ms/tick): `input_output_aliases` does
+# not survive the [cap, 64] -> [cap/2, 128] reshape Mosaic's 128-lane rule
+# forces, so every launch copied the whole cache (docs/PERF.md round 5).
+
+
+def _blend_write(ring, chunk, slot):
+    """Batched chunk write into one layer's rings, no gather/scatter.
+
+    ring: [B, KH, cap, D]; chunk: [B, T, KH, D] (T <= cap); slot: [B] int32
+    in [0, cap).  Row i of each stream's chunk lands at slot (slot+i) % cap.
+    Exact for every KV dtype: the one-hot matmul runs in a >=16-bit compute
+    dtype with f32 accumulation (fp8 values round-trip bf16 exactly).
+    """
+    bsz, kh, cap, d = ring.shape
+    t = chunk.shape[1]
+    cdt = ring.dtype if ring.dtype.itemsize >= 2 else jnp.bfloat16
+    j = jnp.mod(jnp.arange(cap, dtype=jnp.int32)[None, :] - slot[:, None],
+                cap)                                          # [B, cap]
+    hit = j < t
+    p = (j[:, :, None] == jnp.arange(t, dtype=jnp.int32)[None, None, :])
+    p = jnp.where(hit[:, :, None], p, False).astype(cdt)      # [B, cap, T]
+    c2 = chunk.astype(cdt).reshape(bsz, t, kh * d)
+    upd = jax.lax.dot_general(
+        p, c2, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32).astype(ring.dtype)
+    upd = jnp.swapaxes(upd.reshape(bsz, cap, kh, d), 1, 2)
+    return jnp.where(hit[:, None, :, None], upd, ring)
+
+
+def _chunk_write_single(k_all, v_all, k_chunk, v_chunk, li, pos0):
+    """Unbatched chunk write: slice + rotate-based ring_write + write-back
+    (the pre-existing encoder path; the returned rings are real buffers,
+    safe to feed the Pallas flash-encode kernel)."""
+    k_ring = jax.lax.dynamic_index_in_dim(k_all, li, axis=0, keepdims=False)
+    v_ring = jax.lax.dynamic_index_in_dim(v_all, li, axis=0, keepdims=False)
+    k_ring = ring_write(k_ring, k_chunk, pos0)
+    v_ring = ring_write(v_ring, v_chunk, pos0)
+    k_all = jax.lax.dynamic_update_index_in_dim(k_all, k_ring, li, axis=0)
+    v_all = jax.lax.dynamic_update_index_in_dim(v_all, v_ring, li, axis=0)
+    return k_all, v_all, k_ring, v_ring
+
+
+@jax.custom_batching.custom_vmap
+def ring_chunk_write(k_all, v_all, k_chunk, v_chunk, li, pos0):
+    """Write a T-row chunk into layer li of the stacked [L, KH, cap, D]
+    caches at slots (pos0 .. pos0+T-1) mod cap.
+
+    Returns (k_all, v_all, k_ring, v_ring) where k_ring/v_ring are the
+    updated layer's rings [KH, cap, D] (what attention reads next).
+    Single stream: the rotate-based ring_write.  Batched over streams: the
+    one-hot matmul blend -- the vmapped rotate's per-stream shift otherwise
+    lowers to a whole-cache gather (~210 ms of a 289 ms 16-stream pool
+    tick, docs/PERF.md round 5 / tools/tick_probe.py).
+
+    k_chunk/v_chunk: [T, KH, D]; li, pos0: scalar int32.
+    """
+    return _chunk_write_single(k_all, v_all, k_chunk, v_chunk, li, pos0)
+
+
+@ring_chunk_write.def_vmap
+def _ring_chunk_write_vmap(axis_size, in_batched, k_all, v_all, k_chunk,
+                           v_chunk, li, pos0):
+    kb, vb, kcb, vcb, lib, pb = in_batched
+    assert kb and vb, "caches must be batched over streams"
+
+    def bc(x, batched):
+        return x if batched else jnp.broadcast_to(
+            x, (axis_size,) + jnp.shape(x))
+
+    k_chunk = bc(k_chunk, kcb)
+    v_chunk = bc(v_chunk, vcb)
+    pos0 = bc(pos0, pb)
+    li_s = li if not lib else li[0]  # layer index is shared across streams
+    cap = k_all.shape[3]
+    t = k_chunk.shape[1]
+
+    if t > cap:
+        # whole-ring rewrite (only the last cap rows survive) -- the rotate
+        # path's t >= cap branch handles the survivor arithmetic
+        k_all, v_all, k_ring, v_ring = jax.vmap(
+            _chunk_write_single, in_axes=(0, 0, 0, 0, None, 0)
+        )(k_all, v_all, k_chunk, v_chunk, li_s, pos0)
+        return (k_all, v_all, k_ring, v_ring), (True, True, True, True)
+
+    slot = jnp.mod(pos0, cap).astype(jnp.int32)
+    k_ring = _blend_write(
+        jax.lax.dynamic_index_in_dim(k_all, li_s, axis=1, keepdims=False),
+        k_chunk, slot)
+    v_ring = _blend_write(
+        jax.lax.dynamic_index_in_dim(v_all, li_s, axis=1, keepdims=False),
+        v_chunk, slot)
+    # shared-index write-back (NOT a scatter: li is unbatched)
+    k_all = jax.lax.dynamic_update_index_in_dim(k_all, k_ring, li_s, axis=1)
+    v_all = jax.lax.dynamic_update_index_in_dim(v_all, v_ring, li_s, axis=1)
+    return (k_all, v_all, k_ring, v_ring), (True, True, True, True)
+
+
 def slot_logical_positions(p_end: jax.Array, cap: int) -> jax.Array:
     """Logical position currently held by each slot (int32 [cap])."""
     slots = jnp.arange(cap, dtype=jnp.int32)
